@@ -1,0 +1,4 @@
+from gaussianhaircut_tpu.ops.rasterize.api import (  # noqa: F401
+    RasterConfig,
+    rasterize,
+)

@@ -1,0 +1,228 @@
+"""Shared rasterizer machinery: config, per-Gaussian preprocess and the
+static-capacity tile binning that replaces the CUDA dynamic binning buffers.
+
+Reference semantics being reproduced (all behavioral, none of the code):
+- preprocess: cuda_rasterizer/forward.cu:155-282 (conic-precomp path — cov2d is
+  *recovered* from the conic, radius = ceil(3 sqrt(max eigenvalue)) with the
+  0.1 discriminant clamp, tile rect via getRect truncation semantics).
+- binning: rasterizer_impl.cu:70-138 (duplicateWithKeys + radix sort by
+  (tile << 32 | depth-bits) + identifyTileRanges).  On TPU the dynamic
+  `resizeFunctional` arena (rasterize_points.cu:27-33) becomes a static
+  instance capacity with an overflow count the caller can check, and the radix
+  sort becomes one `jax.lax.sort` over (tile, depth, gaussian-id) — the
+  trailing id key reproduces the stable ordering of the CUDA radix sort for
+  equal depths.
+
+The binning output is *chunk-aligned*: every tile's instance list starts at a
+chunk boundary and is padded to a whole number of chunks (>= 1, so empty tiles
+still get their output block initialized).  This lets the Pallas kernels walk
+`grid=(num_chunks,)` with BlockSpec-driven pipelining and no manual DMA.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Compositing constants — load-bearing for parity with the reference
+# (forward.cu:361-377).
+ALPHA_CLAMP = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+NEAR_Z = 0.2
+
+NUM_CHANNELS = 10          # rgb(3) + label/fg(2) + dir2d(3) + orient_conf(1) + depth(1)
+PAD_CHANNELS = 16          # channel axis padded to a lane-friendly width
+CH_DONE = 14               # tile-buffer channel holding the early-stop latch
+CH_TRANS = 15              # tile-buffer channel holding the running transmittance
+
+# feat-row layout inside a [8, chunk] feature chunk
+F_GX, F_GY, F_CA, F_CB, F_CC, F_OP, F_VALID, F_PAD = range(8)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer configuration (part of jit cache keys)."""
+    tile_w: int = 32
+    tile_h: int = 32
+    chunk: int = 128                # instances per kernel chunk
+    capacity: int | None = None     # max instances pre-alignment (None -> mult * P)
+    capacity_mult: int = 8
+    backend: str = "auto"           # auto | pallas | jnp
+    cumsum_method: str = "matmul"   # matmul | scan (kernel-internal prefix op)
+
+    @property
+    def tile_pix(self) -> int:
+        return self.tile_w * self.tile_h
+
+    def grid(self, width: int, height: int) -> tuple[int, int]:
+        gx = -(-width // self.tile_w)
+        gy = -(-height // self.tile_h)
+        return gx, gy
+
+    def instance_capacity(self, num_points: int) -> int:
+        cap = self.capacity if self.capacity is not None else self.capacity_mult * num_points
+        return -(-cap // self.chunk) * self.chunk
+
+
+class Binned(NamedTuple):
+    """Chunk-aligned instance buffers consumed by the compositing backends."""
+    feat: jnp.ndarray            # [TC, 8, CH] transposed per-instance features
+    colors: jnp.ndarray          # [TC, CH, PAD_CHANNELS]
+    tile_of_chunk: jnp.ndarray   # [TC] int32
+    chunk_in_tile: jnp.ndarray   # [TC] int32 (0 marks first chunk of its tile)
+    gid: jnp.ndarray             # [TC, CH] int32 source Gaussian per slot (P if invalid)
+    num_rendered: jnp.ndarray    # scalar int32, pre-truncation instance count
+    num_tiles: int               # static
+
+
+class Preprocessed(NamedTuple):
+    mean_pix: jnp.ndarray        # [P, 2]
+    radius: jnp.ndarray          # [P] float (0 for culled)
+    tiles_touched: jnp.ndarray   # [P] int32
+    rect: tuple                  # (min_x, min_y, max_x, max_y) int32 [P]
+    valid: jnp.ndarray           # [P] bool after all culling
+
+
+def cov2d_from_conic(conic: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Recover the packed 2D covariance from a conic exactly as the CUDA
+    preprocess does (forward.cu:240-248).  Returns (cov2d [P, 3], det_ok [P])."""
+    det_inv = conic[:, 0] * conic[:, 2] - conic[:, 1] ** 2
+    det_ok = det_inv != 0.0
+    det = 1.0 / jnp.where(det_ok, det_inv, 1.0)
+    cov = jnp.stack([conic[:, 2], -conic[:, 1], conic[:, 0]], axis=-1) * det[:, None]
+    return cov, det_ok
+
+
+def preprocess(mean_pix: jnp.ndarray, conic: jnp.ndarray, depth: jnp.ndarray,
+               valid_in: jnp.ndarray, width: int, height: int,
+               cfg: RasterConfig) -> Preprocessed:
+    """Per-Gaussian culling / radius / tile-rect (forward.cu:155-282).
+
+    All inputs are expected stop-gradiented by the caller; this function is
+    pure bookkeeping.
+    """
+    gx_grid, gy_grid = cfg.grid(width, height)
+    cov2d, det_ok = cov2d_from_conic(conic)
+    det = cov2d[:, 0] * cov2d[:, 2] - cov2d[:, 1] ** 2
+    mid = 0.5 * (cov2d[:, 0] + cov2d[:, 2])
+    sqrt_d = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    lam_max = jnp.maximum(mid + sqrt_d, mid - sqrt_d)
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+
+    valid = valid_in & det_ok & (depth > NEAR_Z)
+
+    px, py = mean_pix[:, 0], mean_pix[:, 1]
+    rmin_x = jnp.clip(((px - radius) / cfg.tile_w).astype(jnp.int32), 0, gx_grid)
+    rmin_y = jnp.clip(((py - radius) / cfg.tile_h).astype(jnp.int32), 0, gy_grid)
+    rmax_x = jnp.clip(((px + radius + cfg.tile_w - 1) / cfg.tile_w).astype(jnp.int32), 0, gx_grid)
+    rmax_y = jnp.clip(((py + radius + cfg.tile_h - 1) / cfg.tile_h).astype(jnp.int32), 0, gy_grid)
+    area = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+    valid = valid & (area > 0)
+    tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
+    radius = jnp.where(valid, radius, 0.0)
+    return Preprocessed(mean_pix, radius, tiles_touched,
+                        (rmin_x, rmin_y, rmax_x, rmax_y), valid)
+
+
+def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
+                  opacity: jnp.ndarray, colors: jnp.ndarray, depth: jnp.ndarray,
+                  width: int, height: int, cfg: RasterConfig) -> Binned:
+    """Expand Gaussians into depth-sorted, tile-grouped, chunk-aligned
+    instance buffers.
+
+    The gathers of (mean, conic, opacity, colors) into instance slots are the
+    only differentiable operations here; their autodiff transpose is the
+    deterministic scatter-add that replaces the CUDA backward's atomics.
+    """
+    p = pre.mean_pix.shape[0]
+    cap = cfg.instance_capacity(p)
+    gx_grid, gy_grid = cfg.grid(width, height)
+    num_tiles = gx_grid * gy_grid
+    ch = cfg.chunk
+
+    rmin_x, rmin_y, rmax_x, rmax_y = pre.rect
+    offsets = jnp.cumsum(pre.tiles_touched) - pre.tiles_touched  # exclusive
+    total = offsets[-1] + pre.tiles_touched[-1]
+
+    # --- duplicateWithKeys (rasterizer_impl.cu:70-111), static capacity ---
+    gid = jnp.repeat(jnp.arange(p, dtype=jnp.int32), pre.tiles_touched,
+                     total_repeat_length=cap)
+    inst_valid = jnp.arange(cap, dtype=jnp.int32) < total
+    within = jnp.arange(cap, dtype=jnp.int32) - offsets[gid].astype(jnp.int32)
+    rect_w = jnp.maximum(rmax_x - rmin_x, 1)[gid]
+    tile_x = rmin_x[gid] + within % rect_w
+    tile_y = rmin_y[gid] + within // rect_w
+    tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x, num_tiles).astype(jnp.int32)
+
+    # --- the radix sort: (tile, depth, id) lexicographic, like the stable
+    # CUDA sort on (tile << 32 | depth-bits) ---
+    inst_depth = jnp.where(inst_valid, depth[gid], jnp.inf).astype(jnp.float32)
+    tile_sorted, _, gid_sorted = jax.lax.sort(
+        (tile_id, inst_depth, gid), num_keys=3)
+
+    # --- identifyTileRanges -> chunk-aligned layout ---
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(tile_sorted), tile_sorted, num_segments=num_tiles + 1,
+        indices_are_sorted=True)[:num_tiles].astype(jnp.int32)
+    tile_start = jnp.cumsum(counts) - counts                       # packed starts
+    nchunks = jnp.maximum(1, -(-counts // ch))
+    chunk_start = jnp.cumsum(nchunks) - nchunks                    # chunk index per tile
+    total_chunks = cap // ch + num_tiles                           # static upper bound
+
+    chunk_ids = jnp.arange(total_chunks, dtype=jnp.int32)
+    tile_of_chunk = jnp.searchsorted(chunk_start, chunk_ids, side="right").astype(jnp.int32) - 1
+    tile_of_chunk = jnp.clip(tile_of_chunk, 0, num_tiles - 1)
+    chunk_in_tile = chunk_ids - chunk_start[tile_of_chunk]
+
+    slot = jnp.arange(total_chunks * ch, dtype=jnp.int32)
+    slot_tile = tile_of_chunk[slot // ch]
+    off_in_tile = slot - chunk_start[slot_tile] * ch
+    slot_ok = off_in_tile < counts[slot_tile]
+    src = jnp.where(slot_ok, tile_start[slot_tile] + off_in_tile, cap - 1)
+    gid_slot = jnp.where(slot_ok, gid_sorted[src], p).astype(jnp.int32)
+
+    # --- gather per-instance features (differentiable) ---
+    safe_gid = jnp.minimum(gid_slot, p - 1)
+    okf = slot_ok.astype(jnp.float32)
+    feat_cols = jnp.stack([
+        mean_pix[safe_gid, 0] * okf,
+        mean_pix[safe_gid, 1] * okf,
+        conic[safe_gid, 0] * okf,
+        conic[safe_gid, 1] * okf,
+        conic[safe_gid, 2] * okf,
+        opacity[safe_gid, 0] * okf,
+        okf,
+        jnp.zeros_like(okf),
+    ], axis=-1)                                                     # [S, 8]
+    feat = feat_cols.reshape(total_chunks, ch, 8).swapaxes(1, 2)    # [TC, 8, CH]
+
+    col = colors[safe_gid] * okf[:, None]                           # [S, C10]
+    col = jnp.pad(col, ((0, 0), (0, PAD_CHANNELS - col.shape[1])))
+    col = col.reshape(total_chunks, ch, PAD_CHANNELS)               # [TC, CH, 16]
+
+    return Binned(feat=feat, colors=col, tile_of_chunk=tile_of_chunk,
+                  chunk_in_tile=chunk_in_tile,
+                  gid=gid_slot.reshape(total_chunks, ch),
+                  num_rendered=total.astype(jnp.int32), num_tiles=num_tiles)
+
+
+def assemble_image(tile_buf: jnp.ndarray, bg: jnp.ndarray, width: int,
+                   height: int, cfg: RasterConfig):
+    """tile_buf [T, PIX, 16] -> (image [10, H, W], final_T [H, W]).
+
+    Blends the background exactly like forward.cu:397-398:
+    out = C + T_final * bg.
+    """
+    gx_grid, gy_grid = cfg.grid(width, height)
+    t_final = tile_buf[:, :, CH_TRANS]
+    img = tile_buf[:, :, :NUM_CHANNELS] + t_final[:, :, None] * bg[None, None, :NUM_CHANNELS]
+    img = img.reshape(gy_grid, gx_grid, cfg.tile_h, cfg.tile_w, NUM_CHANNELS)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(
+        NUM_CHANNELS, gy_grid * cfg.tile_h, gx_grid * cfg.tile_w)
+    t_final = t_final.reshape(gy_grid, gx_grid, cfg.tile_h, cfg.tile_w)
+    t_final = t_final.transpose(0, 2, 1, 3).reshape(
+        gy_grid * cfg.tile_h, gx_grid * cfg.tile_w)
+    return img[:, :height, :width], t_final[:height, :width]

@@ -1,0 +1,214 @@
+"""Rasterizer correctness: independent naive compositor vs oracle vs
+chunk-scan jnp backend vs Pallas (interpret mode), forward and gradients."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussianhaircut_tpu.ops.rasterize import common as C
+from gaussianhaircut_tpu.ops.rasterize import reference
+from gaussianhaircut_tpu.ops.rasterize.api import rasterize, ndc_xy_to_pixel
+from gaussianhaircut_tpu.ops.rasterize.common import RasterConfig
+
+W, H = 40, 24
+NCH = 10
+
+
+def make_scene(rng, p=64):
+    """Random Gaussians roughly covering the image."""
+    mean_pix = rng.uniform([-5, -5], [W + 5, H + 5], size=(p, 2)).astype(np.float32)
+    # random SPD 2x2 covariances with a few-pixel scale
+    theta = rng.uniform(0, np.pi, p)
+    s1 = rng.uniform(1.0, 16.0, p)
+    s2 = rng.uniform(1.0, 16.0, p)
+    c, s = np.cos(theta), np.sin(theta)
+    r00, r01 = c, -s
+    r10, r11 = s, c
+    cov00 = r00 * r00 * s1 + r01 * r01 * s2
+    cov01 = r00 * r10 * s1 + r01 * r11 * s2
+    cov11 = r10 * r10 * s1 + r11 * r11 * s2
+    det = cov00 * cov11 - cov01 ** 2
+    conic = np.stack([cov11 / det, -cov01 / det, cov00 / det], -1).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(p, NCH)).astype(np.float32)
+    opacity = rng.uniform(0.05, 1.0, size=(p, 1)).astype(np.float32)
+    depth = rng.uniform(0.5, 10.0, size=(p,)).astype(np.float32)
+    depth[: p // 8] = 0.1  # some near-culled
+    valid = np.ones(p, bool)
+    valid[p // 8: p // 4] = False  # some externally culled
+    bg = np.array([1, 1, 1, 0, 0, 0, 0, 0, 0, 100], np.float32)
+    return mean_pix, conic, colors, opacity, depth, valid, bg
+
+
+def pix_to_ndc(mean_pix):
+    size = np.array([W, H], np.float32)
+    ndc_xy = (2.0 * mean_pix + 1.0) / size - 1.0
+    return np.concatenate([ndc_xy, np.zeros_like(ndc_xy[:, :1])], -1).astype(np.float32)
+
+
+def naive_render(mean_pix, conic, colors, opacity, depth, valid, bg, tile_w, tile_h):
+    """Straight Python port of forward.cu compositing (ground truth)."""
+    p = mean_pix.shape[0]
+    gx = -(-W // tile_w)
+    gy = -(-H // tile_h)
+    # preprocess
+    radius = np.zeros(p)
+    rects = np.zeros((p, 4), np.int64)
+    ok = np.zeros(p, bool)
+    for i in range(p):
+        if not valid[i] or depth[i] <= 0.2:
+            continue
+        a, b, c = conic[i]
+        det_inv = a * c - b * b
+        if det_inv == 0:
+            continue
+        det = 1.0 / det_inv
+        cov = np.array([c * det, -b * det, a * det])
+        mid = 0.5 * (cov[0] + cov[2])
+        d = cov[0] * cov[2] - cov[1] ** 2
+        lam = mid + np.sqrt(max(0.1, mid * mid - d))
+        lam = max(lam, mid - np.sqrt(max(0.1, mid * mid - d)))
+        r = np.ceil(3.0 * np.sqrt(max(lam, 0.0)))
+        x0 = min(gx, max(0, int((mean_pix[i, 0] - r) / tile_w)))
+        y0 = min(gy, max(0, int((mean_pix[i, 1] - r) / tile_h)))
+        x1 = min(gx, max(0, int((mean_pix[i, 0] + r + tile_w - 1) / tile_w)))
+        y1 = min(gy, max(0, int((mean_pix[i, 1] + r + tile_h - 1) / tile_h)))
+        if (x1 - x0) * (y1 - y0) == 0:
+            continue
+        ok[i] = True
+        radius[i] = r
+        rects[i] = (x0, y0, x1, y1)
+
+    order = np.argsort(np.where(ok, depth, np.inf), kind="stable")
+    out = np.zeros((NCH, H, W), np.float32)
+    t_map = np.ones((H, W), np.float32)
+    for py in range(H):
+        for px in range(W):
+            tx, ty = px // tile_w, py // tile_h
+            t = 1.0
+            cacc = np.zeros(NCH)
+            for i in order:
+                if not ok[i]:
+                    continue
+                x0, y0, x1, y1 = rects[i]
+                if not (x0 <= tx < x1 and y0 <= ty < y1):
+                    continue
+                dx = mean_pix[i, 0] - px
+                dy = mean_pix[i, 1] - py
+                a, b, c = conic[i]
+                power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
+                if power > 0:
+                    continue
+                alpha = min(0.99, opacity[i, 0] * np.exp(power))
+                if alpha < 1.0 / 255.0:
+                    continue
+                test = t * (1 - alpha)
+                if test < 1e-4:
+                    break
+                cacc += colors[i] * alpha * t
+                t = test
+            out[:, py, px] = cacc + t * bg
+            t_map[py, px] = t
+    return out, t_map
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(7)
+    return make_scene(rng)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return RasterConfig(tile_w=8, tile_h=8, chunk=16, capacity_mult=16)
+
+
+def test_oracle_matches_naive(scene, cfg):
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    gold, gold_t = naive_render(mean_pix, conic, colors, opacity, depth, valid,
+                                bg, cfg.tile_w, cfg.tile_h)
+    img, t_final = reference.rasterize_reference(
+        jnp.asarray(mean_pix), jnp.asarray(conic), jnp.asarray(colors),
+        jnp.asarray(opacity), jnp.asarray(depth), jnp.asarray(valid),
+        jnp.asarray(bg), W, H, cfg, block=256)
+    np.testing.assert_allclose(np.asarray(img), gold, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(t_final), gold_t, rtol=2e-5, atol=1e-5)
+
+
+def _run_backend(scene, cfg, backend):
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean_pix)
+    cfg = RasterConfig(**{**cfg.__dict__, "backend": backend})
+    out = rasterize(jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+                    jnp.asarray(opacity), jnp.asarray(depth), jnp.asarray(valid),
+                    jnp.asarray(bg), W, H, cfg)
+    return out
+
+
+def test_jnp_core_matches_naive(scene, cfg):
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    gold, gold_t = naive_render(mean_pix, conic, colors, opacity, depth, valid,
+                                bg, cfg.tile_w, cfg.tile_h)
+    out = _run_backend(scene, cfg, "jnp")
+    assert int(out["num_rendered"]) > 0
+    np.testing.assert_allclose(np.asarray(out["render"]), gold, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["final_T"]), gold_t, rtol=2e-5, atol=1e-5)
+
+
+def test_pallas_interpret_matches_naive(scene, cfg):
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    gold, gold_t = naive_render(mean_pix, conic, colors, opacity, depth, valid,
+                                bg, cfg.tile_w, cfg.tile_h)
+    out = _run_backend(scene, cfg, "pallas")
+    # slightly looser: the kernel's log-space transmittance cumsum rounds
+    # differently than the sequential product
+    np.testing.assert_allclose(np.asarray(out["render"]), gold, rtol=5e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out["final_T"]), gold_t, rtol=5e-4, atol=1e-4)
+
+
+def _loss_fn(backend, scene, cfg):
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    cfg = RasterConfig(**{**cfg.__dict__, "backend": backend})
+    target = jnp.linspace(0, 1, NCH * H * W).reshape(NCH, H, W)
+
+    def loss(ndc, conic, colors, opacity):
+        out = rasterize(ndc, conic, colors, opacity, jnp.asarray(depth),
+                        jnp.asarray(valid), jnp.asarray(bg), W, H, cfg)
+        return jnp.sum((out["render"] - target) ** 2)
+
+    ndc = jnp.asarray(pix_to_ndc(mean_pix))
+    return jax.grad(loss, argnums=(0, 1, 2, 3))(
+        ndc, jnp.asarray(conic), jnp.asarray(colors), jnp.asarray(opacity))
+
+
+def _oracle_loss_grads(scene, cfg):
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    target = jnp.linspace(0, 1, NCH * H * W).reshape(NCH, H, W)
+
+    def loss(ndc, conic, colors, opacity):
+        mp = ndc_xy_to_pixel(ndc, W, H)
+        img, _ = reference.rasterize_reference(
+            mp, conic, colors, opacity, jnp.asarray(depth), jnp.asarray(valid),
+            jnp.asarray(bg), W, H, cfg, block=256)
+        return jnp.sum((img - target) ** 2)
+
+    ndc = jnp.asarray(pix_to_ndc(mean_pix))
+    return jax.grad(loss, argnums=(0, 1, 2, 3))(
+        ndc, jnp.asarray(conic), jnp.asarray(colors), jnp.asarray(opacity))
+
+
+def test_gradients_jnp_vs_oracle(scene, cfg):
+    g_jnp = _loss_fn("jnp", scene, cfg)
+    g_ora = _oracle_loss_grads(scene, cfg)
+    for a, b, name in zip(g_jnp, g_ora, ["ndc", "conic", "colors", "opacity"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-3, err_msg=name)
+
+
+def test_gradients_pallas_vs_jnp(scene, cfg):
+    g_pal = _loss_fn("pallas", scene, cfg)
+    g_jnp = _loss_fn("jnp", scene, cfg)
+    # the kernel's suffix accumulator is computed as (total - prefix), which
+    # rounds differently than autodiff's direct suffix sums
+    for a, b, name in zip(g_pal, g_jnp, ["ndc", "conic", "colors", "opacity"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
+                                   atol=1e-3, err_msg=name)
