@@ -1,0 +1,100 @@
+"""Benchmark: stage-1 train iterations/sec on a synthetic head-scale scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context: the reference publishes no numbers (BASELINE.md); vanilla
+3DGS-class trainers run stage-1 (30k iters, ~half-res video frames) at roughly
+15 it/s on the reference's RTX-4090 class hardware, which we use as the
+denominator for vs_baseline until a measured reference run exists.
+"""
+import json
+import math
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_ITERS_PER_SEC = 15.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gaussianhaircut_tpu.config import OptimizationConfig
+    from gaussianhaircut_tpu.ops.rasterize import RasterConfig
+    from gaussianhaircut_tpu.train import stage1
+    from gaussianhaircut_tpu.models import gaussian_model as gm
+    from gaussianhaircut_tpu.scene.cameras import CameraBatch, CameraStatic
+    from gaussianhaircut_tpu.train.stage1 import GtBatch, init_train_state
+
+    p = int(os.environ.get("BENCH_P", 200_000))
+    width = int(os.environ.get("BENCH_W", 960))
+    height = int(os.environ.get("BENCH_H", 544))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(scale=0.3, size=(p, 3)).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, size=(p, 3)).astype(np.float32)
+    state = gm.create_from_pcd(pts, cols, p, 3, 1.0)
+
+    n_views = 4
+    cams = []
+    fov = math.radians(50)
+    for i in range(n_views):
+        a = 2 * math.pi * i / n_views
+        center = np.array([2.5 * math.sin(a), 0.3, 2.5 * math.cos(a)])
+        fwd = -center / np.linalg.norm(center)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = np.stack([right, np.cross(fwd, right), fwd], axis=0)
+        w2c[:3, 3] = -w2c[:3, :3] @ center
+        c = CameraStatic(uid=i, colmap_id=i, image_name=f"{i:04d}",
+                         width=width, height=height, colmap_transform=w2c,
+                         fovx=fov, fovy=fov)
+        c.image = rng.uniform(size=(3, height, width)).astype(np.float32)
+        c.mask_hair = np.full((1, height, width), 0.5, np.float32)
+        c.mask_body = np.ones((1, height, width), np.float32)
+        c.orient_angle = rng.uniform(size=(1, height, width)).astype(np.float32)
+        c.orient_conf = np.ones((1, height, width), np.float32)
+        cams.append(c)
+    cam_batch = CameraBatch.from_cameras(cams)
+    gt = GtBatch.from_cameras(cams)
+
+    opt_cfg = OptimizationConfig(lambda_dorient=0.1)
+    raster_cfg = RasterConfig(
+        backend="auto",
+        capacity_mult=int(os.environ.get("BENCH_CAP_MULT", 6)))
+    tstate = init_train_state(state, n_views, use_barf=True)
+
+    def step(tstate, idx):
+        return stage1.train_step(
+            tstate, cam_batch, gt, idx, active_sh_degree=3,
+            width=width, height=height, raster_cfg=raster_cfg,
+            opt_cfg=opt_cfg, trainable_cameras=True,
+            trainable_intrinsics=True, use_barf=True, white_background=False)
+
+    tstate, _ = step(tstate, jnp.asarray(0))
+    jax.block_until_ready(tstate.model.params.xyz)
+
+    t0 = time.time()
+    for i in range(iters):
+        tstate, metrics = step(tstate, jnp.asarray(i % n_views))
+    jax.block_until_ready(tstate.model.params.xyz)
+    dt = (time.time() - t0) / iters
+    its = 1.0 / dt
+
+    print(json.dumps({
+        "metric": f"stage1 train iters/sec ({p} gaussians, {width}x{height})",
+        "value": round(its, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(its / REFERENCE_ITERS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,9 +16,13 @@ import jax.numpy as jnp
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
     """L2 normalize along axis (torch.nn.functional.normalize semantics:
-    division by max(||v||, eps))."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return v / jnp.maximum(n, eps)
+    division by max(||v||, eps)).
+
+    Implemented as v / sqrt(max(||v||^2, eps^2)) so the gradient is finite at
+    v = 0 (jnp.linalg.norm has a NaN gradient there, and JAX's 0 * NaN
+    poisons masked pixels — torch's clamped-norm backward doesn't)."""
+    n2 = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v / jnp.sqrt(jnp.maximum(n2, eps * eps))
 
 
 def build_rotation(q: jnp.ndarray) -> jnp.ndarray:

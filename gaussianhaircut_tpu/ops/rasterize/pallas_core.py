@@ -114,31 +114,33 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in):
 
 # ---------------------------------------------------------------- forward ---
 
-def _fwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, out_ref,
+def _fwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, out_ref, acc_ref,
                 *, cfg: C.RasterConfig, gx_grid: int):
+    # The running (color, done, T) accumulator lives in VMEM *scratch*, which
+    # is single-buffered and persists across grid steps.  Accumulating through
+    # out_ref instead is unsafe: output blocks are multi-buffered and with a
+    # scalar-prefetch-driven index map the revisit detection cannot alias the
+    # buffers (observed miscompile on real TPU: alternate chunks landed in
+    # alternate buffers).
     c = pl.program_id(0)
     tile = tof_ref[c]
     k = kit_ref[c]
     pix = cfg.tile_pix
     lane = jax.lax.broadcasted_iota(jnp.int32, (pix, C.PAD_CHANNELS), 1)
 
-    @pl.when(k == 0)
-    def _():
-        out_ref[0] = jnp.where(lane == C.CH_TRANS, 1.0, 0.0).astype(_F32)
-
-    acc = out_ref[0]
+    init = jnp.where(lane == C.CH_TRANS, 1.0, 0.0).astype(_F32)
+    acc = jnp.where(k == 0, init, acc_ref[:, :])
     done_in = acc[:, C.CH_DONE:C.CH_DONE + 1]
+    t_in = acc[:, C.CH_TRANS:C.CH_TRANS + 1]
 
-    @pl.when(jnp.min(done_in) < 0.5)
-    def _():
-        t_in = acc[:, C.CH_TRANS:C.CH_TRANS + 1]
-        basis = _pixel_basis(tile, cfg, gx_grid)
-        q = _chunk_blend_quantities(feat_ref[0], u_ref[:, :], basis, t_in, done_in)
-        d_color = jnp.dot(q["w"], col_ref[0], preferred_element_type=_F32)
-        new_acc = acc + d_color
-        new_acc = jnp.where(lane == C.CH_DONE, q["done_new"], new_acc)
-        new_acc = jnp.where(lane == C.CH_TRANS, q["t_new"], new_acc)
-        out_ref[0] = new_acc
+    basis = _pixel_basis(tile, cfg, gx_grid)
+    q = _chunk_blend_quantities(feat_ref[0], u_ref[:, :], basis, t_in, done_in)
+    d_color = jnp.dot(q["w"], col_ref[0], preferred_element_type=_F32)
+    new_acc = acc + d_color
+    new_acc = jnp.where(lane == C.CH_DONE, q["done_new"], new_acc)
+    new_acc = jnp.where(lane == C.CH_TRANS, q["t_new"], new_acc)
+    acc_ref[:, :] = new_acc
+    out_ref[0] = new_acc
 
 
 def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
@@ -159,6 +161,7 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
         ],
         out_specs=pl.BlockSpec(
             (1, pix, C.PAD_CHANNELS), lambda c, tof, kit: (tof[c], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((pix, C.PAD_CHANNELS), _F32)],
     )
     kernel = functools.partial(_fwd_kernel, cfg=cfg, gx_grid=gx_grid)
     return pl.pallas_call(

@@ -1,0 +1,88 @@
+"""Per-leaf Adam with torch semantics + the exponential LR schedule.
+
+A hand-rolled Adam (rather than optax.adam) because densification performs
+moment "surgery" — zeroing moment rows for cloned/split/reset slots, the JAX
+analog of the reference's optimizer-state replacement
+(gaussian_model.py:581-677) — which needs the moments exposed as a plain
+pytree.  Update rule matches torch.optim.Adam(eps=1e-15)
+(gaussian_model.py:444): m-hat / (sqrt(v-hat) + eps).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AdamState(NamedTuple):
+    mu: any
+    nu: any
+    count: jnp.ndarray
+
+
+def adam_init(params) -> AdamState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
+                     count=jnp.zeros((), jnp.int32))
+
+
+def adam_update(grads, state: AdamState, lrs, b1: float = 0.9,
+                b2: float = 0.999, eps: float = 1e-15):
+    """Returns (updates, new_state).  `lrs` is a pytree of scalars (static or
+    traced) matching `grads`; a leaf lr of 0 freezes that leaf."""
+    count = state.count + 1
+    mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+    nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+    c1 = 1 - b1 ** count.astype(jnp.float32)
+    c2 = 1 - b2 ** count.astype(jnp.float32)
+    updates = jax.tree.map(
+        lambda m, v, lr: -lr * (m / c1) / (jnp.sqrt(v / c2) + eps),
+        mu, nu, lrs)
+    return updates, AdamState(mu, nu, count)
+
+
+def apply_updates(params, updates):
+    return jax.tree.map(lambda p, u: p + u, params, updates)
+
+
+def adamw_update(grads, state: AdamState, params, lr, b1: float = 0.9,
+                 b2: float = 0.999, eps: float = 1e-8, weight_decay: float = 0.01):
+    """torch.optim.AdamW semantics (decoupled decay applied with the lr),
+    used by the stage-2/3 strand optimizers
+    (gaussian_model_latent_strands.py:518)."""
+    count = state.count + 1
+    mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+    nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+    c1 = 1 - b1 ** count.astype(jnp.float32)
+    c2 = 1 - b2 ** count.astype(jnp.float32)
+    updates = jax.tree.map(
+        lambda m, v, p: -lr * ((m / c1) / (jnp.sqrt(v / c2) + eps)
+                               + weight_decay * p),
+        mu, nu, params)
+    return updates, AdamState(mu, nu, count)
+
+
+def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: float = 0,
+             lr_delay_mult: float = 1.0, max_steps: int = 1000000):
+    """Log-linear LR decay with optional sine delay ramp — same curve as the
+    reference's Plenoxels-derived helper (general_utils.py:30-63)."""
+    if lr_init == 0.0 and lr_final == 0.0:
+        return jnp.zeros(())
+    step = jnp.asarray(step, jnp.float32)
+    if lr_delay_steps > 0:
+        delay = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1))
+    else:
+        delay = 1.0
+    t = jnp.clip(step / max_steps, 0, 1)
+    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+    return jnp.where(step < 0, 0.0, delay * log_lerp)
+
+
+def grads_are_finite(grads) -> jnp.ndarray:
+    """True iff every gradient entry is finite — the NaN-guard that skips the
+    whole step like train_gaussians.py:175-178."""
+    leaves = jax.tree.leaves(jax.tree.map(
+        lambda g: jnp.all(jnp.isfinite(g)), grads))
+    return jnp.stack(leaves).all()

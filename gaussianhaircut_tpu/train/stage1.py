@@ -1,0 +1,382 @@
+"""Stage-1 trainer: unstructured 3DGS fit (the train_gaussians.py equivalent).
+
+One jitted train step = render -> losses -> VJP -> NaN-guarded Adam on both
+the Gaussian parameters and the per-camera pose/intrinsics residuals
+(train_gaussians.py:36-208).  Densification runs as a separate jitted
+function on the interval schedule; SH degree bumps re-specialize the step
+(4 compilations total).
+
+Loss stack (train_gaussians.py:120-140):
+  loss = lambda_dl1 * L1(render, gt | body-mask)
+       + lambda_dssim * (1 - SSIM(masked))
+       + lambda_dmask * L1(mask2, gt_mask2)
+       + lambda_dorient * OR(orient_angle | conf, weighted by gt conf, hair-mask)
+"""
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+import random
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianhaircut_tpu.config import ModelConfig, OptimizationConfig, PipelineConfig
+from gaussianhaircut_tpu.models import gaussian_model as gm
+from gaussianhaircut_tpu.ops import losses as L
+from gaussianhaircut_tpu.ops.rasterize import RasterConfig
+from gaussianhaircut_tpu.ops.ssim import ssim
+from gaussianhaircut_tpu.render.renderer import default_background, render
+from gaussianhaircut_tpu.scene.cameras import CameraBatch, CameraResiduals, camera_geom
+from gaussianhaircut_tpu.train import densify, optim
+from gaussianhaircut_tpu.utils.logger import MetricsLogger
+
+
+class CamAdamState(NamedTuple):
+    """Per-camera-row Adam (each camera steps only when it is drawn, matching
+    torch's skip-if-no-grad semantics)."""
+    mu: CameraResiduals
+    nu: CameraResiduals
+    count: jnp.ndarray  # [N] per-camera step counts
+
+
+class TrainState(NamedTuple):
+    model: gm.GaussianModelState
+    opt: optim.AdamState
+    cam_res: CameraResiduals
+    cam_opt: CamAdamState
+    step: jnp.ndarray
+
+
+class GtBatch(NamedTuple):
+    """Stacked ground truth for all training cameras [N, C, H, W]."""
+    image: jnp.ndarray
+    mask: jnp.ndarray          # [N, 2, H, W] (hair, body)
+    orient_angle: jnp.ndarray
+    orient_conf: jnp.ndarray
+
+    @staticmethod
+    def from_cameras(cams) -> "GtBatch":
+        return GtBatch(
+            image=jnp.asarray(np.stack([c.image for c in cams])),
+            mask=jnp.asarray(np.stack([c.mask for c in cams])),
+            orient_angle=jnp.asarray(np.stack([c.orient_angle for c in cams])),
+            orient_conf=jnp.asarray(np.stack([c.orient_conf for c in cams])),
+        )
+
+
+def param_lrs(opt_cfg: OptimizationConfig, spatial_lr_scale: float, step):
+    """Per-leaf LR pytree (gaussian_model.py:426-448): xyz on the exponential
+    schedule, viewspace frozen (gradient port only)."""
+    xyz_lr = optim.expon_lr(step,
+                            opt_cfg.position_lr_init * spatial_lr_scale,
+                            opt_cfg.position_lr_final * spatial_lr_scale,
+                            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+                            max_steps=opt_cfg.position_lr_max_steps)
+    return gm.GaussianParams(
+        xyz=xyz_lr,
+        features_dc=opt_cfg.feature_lr,
+        features_rest=opt_cfg.feature_lr / 20.0,
+        scaling=opt_cfg.scaling_lr,
+        rotation=opt_cfg.rotation_lr,
+        opacity=opt_cfg.opacity_lr,
+        label=opt_cfg.label_lr,
+        orient_conf=opt_cfg.orient_conf_lr if opt_cfg.train_orient_conf else 0.0,
+        viewspace=0.0,
+    )
+
+
+def cam_lrs(opt_cfg: OptimizationConfig, spatial_lr_scale: float, step):
+    trans_lr = optim.expon_lr(step,
+                              opt_cfg.cam_translation_lr_init * spatial_lr_scale,
+                              opt_cfg.cam_translation_lr_final * spatial_lr_scale,
+                              max_steps=opt_cfg.cam_lr_max_steps)
+    return CameraResiduals(rotation=opt_cfg.cam_rotation_lr,
+                           translation=trans_lr,
+                           fov=opt_cfg.cam_fov_lr)
+
+
+def compute_losses(out, gt_image, gt_mask, gt_orient_angle, gt_orient_conf,
+                   opt_cfg: OptimizationConfig):
+    body = gt_mask[1:]
+    hair = gt_mask[:1]
+    ll1 = L.l1_loss(out["render"], gt_image, mask=body)
+    lssim = 1.0 - ssim(out["render"] * body, gt_image * body)
+    lmask = L.l1_loss(out["mask"], gt_mask)
+    orient_weight = jnp.ones_like(hair) * gt_orient_conf
+    lorient = L.or_loss(out["orient_angle"], gt_orient_angle,
+                        confs=out["orient_conf"], weight=orient_weight,
+                        mask=hair)
+    lorient = jnp.where(jnp.isnan(lorient), 0.0, lorient)
+    total = (ll1 * opt_cfg.lambda_dl1 + lssim * opt_cfg.lambda_dssim
+             + lmask * opt_cfg.lambda_dmask + lorient * opt_cfg.lambda_dorient)
+    return total, {"l1": ll1, "ssim": lssim, "mask": lmask, "orient": lorient,
+                   "total": total}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "width", "height", "raster_cfg",
+                     "opt_cfg", "trainable_cameras", "trainable_intrinsics",
+                     "use_barf", "white_background"))
+def train_step(state: TrainState, cam_batch: CameraBatch, gt: GtBatch,
+               cam_idx, *, active_sh_degree: int, width: int, height: int,
+               raster_cfg: RasterConfig, opt_cfg: OptimizationConfig,
+               trainable_cameras: bool, trainable_intrinsics: bool,
+               use_barf: bool, white_background: bool):
+    bg = default_background(white_background)
+    alive = state.model.aux.alive
+
+    def loss_fn(params, cam_res):
+        cam = camera_geom(cam_batch.colmap_transform[cam_idx],
+                          cam_batch.fovx[cam_idx], cam_batch.fovy[cam_idx],
+                          width, height, cam_res, cam_idx,
+                          use_barf=use_barf,
+                          trainable_cameras=trainable_cameras,
+                          trainable_intrinsics=trainable_intrinsics)
+        out = render(params, alive, active_sh_degree, cam, bg, raster_cfg)
+        total, parts = compute_losses(
+            out, gt.image[cam_idx], gt.mask[cam_idx],
+            gt.orient_angle[cam_idx], gt.orient_conf[cam_idx], opt_cfg)
+        return total, (parts, out["radii"], out["visibility_filter"],
+                       out["num_rendered"])
+
+    (loss, (parts, radii, visibility, num_rendered)), (gparams, gcam) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            state.model.params, state.cam_res))
+
+    # densification stats use the viewspace-gradient port
+    new_aux = densify.add_stats(state.model.aux, gparams.viewspace, radii,
+                                visibility)
+
+    # --- Gaussian Adam step with NaN guard (train_gaussians.py:174-181) ---
+    model_grads_ok = optim.grads_are_finite(
+        gparams._replace(viewspace=jnp.zeros_like(gparams.viewspace)))
+    lrs = param_lrs(opt_cfg, state.model.spatial_lr_scale, state.step)
+    updates, new_opt = optim.adam_update(gparams, state.opt, lrs)
+    keep = model_grads_ok.astype(jnp.float32)
+    new_params = jax.tree.map(lambda p, u: p + keep * u,
+                              state.model.params, updates)
+    # on NaN the whole step is skipped, moments and count included
+    # (torch Adam's skip-if-no-grad semantics)
+    new_opt = jax.lax.cond(model_grads_ok, lambda: new_opt, lambda: state.opt)
+
+    # --- camera Adam: only the drawn camera's row advances ---
+    if trainable_cameras or trainable_intrinsics:
+        cam_ok = optim.grads_are_finite(gcam)
+        active_window = state.step < opt_cfg.iterations_cam
+        do_cam = cam_ok & active_window
+        clrs = cam_lrs(opt_cfg, state.model.spatial_lr_scale, state.step)
+        row_count = state.cam_opt.count[cam_idx] + 1
+        b1, b2, eps = 0.9, 0.999, 1e-15
+
+        def upd(mu, nu, g, lr, res):
+            mu_row = b1 * mu[cam_idx] + (1 - b1) * g[cam_idx]
+            nu_row = b2 * nu[cam_idx] + (1 - b2) * g[cam_idx] ** 2
+            c1 = 1 - b1 ** row_count.astype(jnp.float32)
+            c2 = 1 - b2 ** row_count.astype(jnp.float32)
+            step_row = -lr * (mu_row / c1) / (jnp.sqrt(nu_row / c2) + eps)
+            sel = do_cam.astype(jnp.float32)
+            return (mu.at[cam_idx].set(mu[cam_idx] * (1 - sel) + sel * mu_row),
+                    nu.at[cam_idx].set(nu[cam_idx] * (1 - sel) + sel * nu_row),
+                    res.at[cam_idx].add(sel * step_row))
+
+        mus, nus, ress = [], [], []
+        for name in CameraResiduals._fields:
+            lr = getattr(clrs, name)
+            mu, nu, res = upd(getattr(state.cam_opt.mu, name),
+                              getattr(state.cam_opt.nu, name),
+                              getattr(gcam, name), lr,
+                              getattr(state.cam_res, name))
+            mus.append(mu)
+            nus.append(nu)
+            ress.append(res)
+        new_cam_opt = CamAdamState(CameraResiduals(*mus), CameraResiduals(*nus),
+                                   state.cam_opt.count.at[cam_idx].add(
+                                       do_cam.astype(jnp.int32)))
+        new_cam_res = CameraResiduals(*ress)
+    else:
+        new_cam_opt, new_cam_res = state.cam_opt, state.cam_res
+
+    new_model = state.model.replace(params=new_params, aux=new_aux)
+    new_state = TrainState(new_model, new_opt, new_cam_res, new_cam_opt,
+                           state.step + 1)
+    metrics = dict(parts)
+    metrics["num_rendered"] = num_rendered
+    metrics["grads_ok"] = model_grads_ok
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("opt_cfg", "max_screen_size"))
+def densify_step(state: TrainState, key, extent, *, opt_cfg: OptimizationConfig,
+                 max_screen_size):
+    model, opt = densify.densify_and_prune(
+        state.model, state.opt, key, opt_cfg.densify_grad_threshold, 0.005,
+        extent, max_screen_size, opt_cfg.percent_dense)
+    return state._replace(model=model, opt=opt)
+
+
+@jax.jit
+def opacity_reset_step(state: TrainState):
+    model, opt = densify.reset_opacity(state.model, state.opt)
+    return state._replace(model=model, opt=opt)
+
+
+def init_train_state(model_state: gm.GaussianModelState, n_cameras: int,
+                     use_barf: bool) -> TrainState:
+    params = model_state.params
+    cam_res = CameraResiduals.create(n_cameras, use_barf)
+    zeros = jax.tree.map(jnp.zeros_like, cam_res)
+    return TrainState(
+        model=model_state,
+        opt=optim.adam_init(params),
+        cam_res=cam_res,
+        cam_opt=CamAdamState(zeros, jax.tree.map(jnp.zeros_like, cam_res),
+                             jnp.zeros(n_cameras, jnp.int32)),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def save_checkpoint(state: TrainState, path: str) -> None:
+    """npz checkpoint: model capture + optimizer moments + camera residuals
+    (the .pth capture-tuple analog, train_gaussians.py:198-208)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    blob = gm.capture(state.model)
+    for tree, prefix in ((state.opt.mu, "opt.mu"), (state.opt.nu, "opt.nu")):
+        for k, v in tree._asdict().items():
+            blob[f"{prefix}.{k}"] = np.asarray(v)
+    blob["opt.count"] = np.asarray(state.opt.count)
+    for k, v in state.cam_res._asdict().items():
+        blob[f"cam_res.{k}"] = np.asarray(v)
+    for tree, prefix in ((state.cam_opt.mu, "cam_opt.mu"), (state.cam_opt.nu, "cam_opt.nu")):
+        for k, v in tree._asdict().items():
+            blob[f"{prefix}.{k}"] = np.asarray(v)
+    blob["cam_opt.count"] = np.asarray(state.cam_opt.count)
+    blob["step"] = np.asarray(state.step)
+    np.savez(path, **blob)
+
+
+def load_checkpoint(path: str) -> TrainState:
+    d = dict(np.load(path))
+    model = gm.restore(d)
+    gp = lambda pre: gm.GaussianParams(**{k.split(".")[-1]: jnp.asarray(v)
+                                          for k, v in d.items()
+                                          if k.startswith(pre)})
+    cr = lambda pre: CameraResiduals(**{k.split(".")[-1]: jnp.asarray(v)
+                                        for k, v in d.items()
+                                        if k.startswith(pre)})
+    opt = optim.AdamState(gp("opt.mu."), gp("opt.nu."),
+                          jnp.asarray(d["opt.count"]))
+    cam_opt = CamAdamState(cr("cam_opt.mu."), cr("cam_opt.nu."),
+                           jnp.asarray(d["cam_opt.count"]))
+    return TrainState(model, opt, cr("cam_res."), cam_opt,
+                      jnp.asarray(d["step"]))
+
+
+def save_camera_pickles(state: TrainState, cams, cam_batch: CameraBatch,
+                        model_path: str, iteration: int, use_barf: bool,
+                        width: int, height: int) -> None:
+    """cameras/{iter}.pkl + {iter}_matrices.pkl — the downstream-stage
+    contract (train_gaussians.py:203-208)."""
+    os.makedirs(os.path.join(model_path, "cameras"), exist_ok=True)
+    rot, trans, fov = {}, {}, {}
+    res = jax.device_get(state.cam_res)
+    for i, c in enumerate(cams):
+        rot[c.image_name] = np.asarray(res.rotation[i])
+        trans[c.image_name] = np.asarray(res.translation[i])
+        fov[c.image_name] = np.asarray(res.fov[i])
+    with open(os.path.join(model_path, "cameras", f"{iteration}.pkl"), "wb") as f:
+        pickle.dump((rot, trans, fov), f)
+    matrices = {}
+    for i, c in enumerate(cams):
+        geom = camera_geom(cam_batch.colmap_transform[i], cam_batch.fovx[i],
+                           cam_batch.fovy[i], width, height, state.cam_res, i,
+                           use_barf=use_barf)
+        matrices[c.image_name] = np.asarray(geom.projmatrix)
+    with open(os.path.join(model_path, "cameras",
+                           f"{iteration}_matrices.pkl"), "wb") as f:
+        pickle.dump(matrices, f)
+
+
+def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
+          pipe_cfg: PipelineConfig, scene, *, test_iterations=(1000, 5000, 15000, 30000),
+          save_iterations=(1000, 5000, 15000, 30000),
+          checkpoint_iterations=(30000,), start_checkpoint=None,
+          progress_callback=None):
+    """Host-side training loop (train_gaussians.py:78-208)."""
+    cams = scene.train_cameras
+    assert cams, "no training cameras"
+    width, height = cams[0].width, cams[0].height
+    cam_batch = CameraBatch.from_cameras(cams)
+    gt = GtBatch.from_cameras(cams)
+
+    capacity = pipe_cfg.gaussian_capacity or max(
+        1 << (len(scene.points) * 4 - 1).bit_length(), 1 << 17)
+    model_state = gm.create_from_pcd(scene.points, scene.colors, capacity,
+                                     model_cfg.sh_degree, scene.cameras_extent)
+    state = init_train_state(model_state, len(cams), model_cfg.use_barf)
+    if start_checkpoint:
+        state = load_checkpoint(start_checkpoint)
+
+    raster_cfg = RasterConfig(tile_w=pipe_cfg.tile, tile_h=pipe_cfg.tile,
+                              capacity_mult=pipe_cfg.instance_capacity_mult,
+                              backend=pipe_cfg.raster_backend)
+    logger = MetricsLogger(model_cfg.model_path) if model_cfg.model_path else None
+    rng = random.Random(0)
+    key = jax.random.PRNGKey(0)
+    stack = []
+    first_iter = int(state.step)
+    ema = 0.0
+
+    for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
+        if not stack:
+            stack = list(range(len(cams)))
+            rng.shuffle(stack)
+        cam_idx = stack.pop(rng.randrange(len(stack)))
+
+        sh_deg = min(iteration // 1000, model_cfg.sh_degree)
+        state, metrics = train_step(
+            state, cam_batch, gt, jnp.asarray(cam_idx),
+            active_sh_degree=sh_deg, width=width, height=height,
+            raster_cfg=raster_cfg, opt_cfg=opt_cfg,
+            trainable_cameras=model_cfg.trainable_cameras,
+            trainable_intrinsics=model_cfg.trainable_intrinsics,
+            use_barf=model_cfg.use_barf,
+            white_background=model_cfg.white_background)
+
+        if iteration < opt_cfg.densify_until_iter:
+            if (iteration > opt_cfg.densify_from_iter
+                    and iteration % opt_cfg.densification_interval == 0):
+                size_thr = 20 if iteration > opt_cfg.opacity_reset_interval else None
+                key, sub = jax.random.split(key)
+                state = densify_step(state, sub, scene.cameras_extent,
+                                     opt_cfg=opt_cfg, max_screen_size=size_thr)
+            if iteration % opt_cfg.opacity_reset_interval == 0 or (
+                    model_cfg.white_background
+                    and iteration == opt_cfg.densify_from_iter):
+                state = opacity_reset_step(state)
+
+        if logger and iteration % 10 == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            ema = 0.4 * m["total"] + 0.6 * ema
+            logger.scalars(iteration, ema=ema,
+                           num_alive=float(state.model.num_alive()), **m)
+        if progress_callback:
+            progress_callback(iteration, state, metrics)
+
+        if iteration in save_iterations and model_cfg.model_path:
+            out_dir = os.path.join(model_cfg.model_path,
+                                   f"point_cloud/iteration_{iteration}")
+            gm.save_ply(state.model, os.path.join(out_dir, "point_cloud.ply"))
+        if iteration in checkpoint_iterations and model_cfg.model_path:
+            save_checkpoint(state, os.path.join(
+                model_cfg.model_path, "checkpoints", f"{iteration}.npz"))
+            save_camera_pickles(state, cams, cam_batch, model_cfg.model_path,
+                                iteration, model_cfg.use_barf, width, height)
+
+    if logger:
+        logger.close()
+    return state

@@ -1,0 +1,208 @@
+"""Stage-2 trainer: latent textured strands over a frozen head
+(the train_latent_strands.py equivalent, reference src/train_latent_strands.py).
+
+Per iteration (reference :103-164): regenerate all strands from the scalp
+texture + decoder, convert segments to hair Gaussians, composite with the
+frozen stage-1 head Gaussians (label < 0.5 split, :67-75), render, and apply
+
+  loss = lambda_dl1 * L1(image) + lambda_dmask * L1(hair mask)
+       + lambda_dorient * OR(orient | conf, gt-conf weight, hair mask)
+       + lambda_dsds * L_diff                                  (:130-152)
+
+optimized by AdamW + cosine LR on {texture, strand decoder, color decoder}
+(gaussian_model_latent_strands.py:517-522).  Cameras are frozen at their
+stage-1-optimized poses (:56-65).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianhaircut_tpu.config import ModelConfig, OptimizationConfig
+from gaussianhaircut_tpu.models import gaussian_model as gm
+from gaussianhaircut_tpu.models.strand_prior import ColorDecoder
+from gaussianhaircut_tpu.models.strands import strands_to_gaussians
+from gaussianhaircut_tpu.models.textured_strands import (
+    ScalpPool, TexturedStrandsConfig, generate_strands, init_params,
+)
+from gaussianhaircut_tpu.ops import losses as L
+from gaussianhaircut_tpu.ops.quaternion import build_rotation
+from gaussianhaircut_tpu.ops.rasterize import RasterConfig
+from gaussianhaircut_tpu.render.renderer import (
+    GaussianFields, default_background, render_fields,
+)
+from gaussianhaircut_tpu.scene.cameras import CameraBatch, camera_geom
+from gaussianhaircut_tpu.train import optim
+from gaussianhaircut_tpu.utils.logger import MetricsLogger
+
+
+class HairTrainState(NamedTuple):
+    params: dict                  # texture / decoder / color_decoder pytrees
+    opt: optim.AdamState
+    step: jnp.ndarray
+    key: jnp.ndarray
+
+
+def make_head_fields(state: gm.GaussianModelState) -> GaussianFields:
+    """Frozen head split of the stage-1 model: rows with hair-label < 0.5
+    (train_latent_strands.py:67-75).  Kept at full capacity with a validity
+    mask (static shapes); label/dir/conf are forced to the head convention
+    (gaussian_renderer/__init__.py:172-175)."""
+    p = state.params
+    head_valid = state.aux.alive & (gm.get_label(p)[:, 0] < 0.5)
+    return GaussianFields(
+        xyz=p.xyz,
+        features=gm.get_features(p),
+        scaling=gm.get_scaling(p),
+        rotation_matrix=build_rotation(p.rotation),
+        opacity=gm.get_opacity(p),
+        label=jnp.zeros_like(p.label),
+        orient_conf=jnp.zeros_like(p.orient_conf),
+        valid=head_valid,
+        viewspace=jnp.zeros_like(p.xyz),
+        use_direction=jnp.zeros(p.xyz.shape[0], jnp.float32),
+    )
+
+
+def init_hair_state(cfg: TexturedStrandsConfig, key) -> HairTrainState:
+    kp, kc, ks = jax.random.split(key, 3)
+    params = init_params(cfg, kp)
+    color = ColorDecoder(sh_degree=cfg.sh_degree)
+    params["color_decoder"] = color.init(
+        kc, jnp.zeros((1, cfg.appearance_descriptor_size - 1)))
+    return HairTrainState(params, optim.adam_init(params),
+                          jnp.zeros((), jnp.int32), ks)
+
+
+def hair_fields_from_strands(params: dict, pool: ScalpPool,
+                             scfg: TexturedStrandsConfig, key,
+                             radius_scale) -> tuple[GaussianFields, dict]:
+    """Strand generation -> segment-Gaussian fields
+    (gaussian_model_latent_strands.py:442-504)."""
+    strands = generate_strands(params, pool, scfg, key)
+    sg = strands_to_gaussians(strands.points, radius_scale)
+
+    n, s = strands.points.shape[0], strands.points.shape[1] - 1
+    k = (scfg.sh_degree + 1) ** 2
+    color = ColorDecoder(sh_degree=scfg.sh_degree)
+    out = color.apply(params["color_decoder"], strands.z_app)  # [N, 3k+1]
+    f_dc = out[:, :3].reshape(n, 1, 1, 3)
+    f_rest = out[:, 3:3 * k].reshape(n, 1, k - 1, 3)
+    oconf = out[:, 3 * k:].reshape(n, 1, 1)
+    features = jnp.concatenate([
+        jnp.broadcast_to(f_dc, (n, s, 1, 3)).reshape(n * s, 1, 3),
+        jnp.broadcast_to(f_rest, (n, s, k - 1, 3)).reshape(n * s, k - 1, 3),
+    ], axis=1)
+    orient_conf = jnp.exp(jnp.broadcast_to(oconf, (n, s, 1)).reshape(n * s, 1))
+
+    ones = jnp.ones((n * s, 1), jnp.float32)
+    fields = GaussianFields(
+        xyz=sg.xyz,
+        features=features,
+        scaling=sg.scaling,
+        rotation_matrix=sg.rotation_matrix,
+        opacity=ones,
+        label=ones,
+        orient_conf=orient_conf,
+        valid=jnp.ones(n * s, bool),
+        viewspace=jnp.zeros((n * s, 3), jnp.float32),
+        use_direction=jnp.ones(n * s, jnp.float32),
+    )
+    return fields, {"strands": strands}
+
+
+def concat_fields(head: GaussianFields, hair: GaussianFields) -> GaussianFields:
+    return GaussianFields(*[
+        jnp.concatenate([getattr(head, f), getattr(hair, f)], axis=0)
+        for f in GaussianFields._fields])
+
+
+def stage2_losses(out, gt_image, gt_mask, gt_orient_angle, gt_orient_conf,
+                  l_diff, opt_cfg: OptimizationConfig):
+    """train_latent_strands.py:130-152."""
+    lce = L.l1_loss(out["mask"][:1], gt_mask[:1])
+    ll1 = L.l1_loss(out["render"], gt_image)
+    orient_weight = jnp.ones_like(gt_mask[:1])
+    if opt_cfg.use_gt_orient_conf:
+        orient_weight = orient_weight * gt_orient_conf
+    confs = out["orient_conf"] if opt_cfg.train_orient_conf else None
+    lor = L.or_loss(out["orient_angle"], gt_orient_angle, confs=confs,
+                    weight=orient_weight, mask=gt_mask[:1])
+    z = jnp.zeros(())
+    ll1 = jnp.where(jnp.isnan(ll1), z, ll1)
+    lce = jnp.where(jnp.isnan(lce), z, lce)
+    lor = jnp.where(jnp.isnan(lor), z, lor)
+    ldf = jnp.where(jnp.isnan(l_diff), z, l_diff)
+    total = (ll1 * opt_cfg.lambda_dl1 + lce * opt_cfg.lambda_dmask
+             + lor * opt_cfg.lambda_dorient + ldf * opt_cfg.lambda_dsds)
+    return total, {"l1": ll1, "mask": lce, "orient": lor, "sds": ldf,
+                   "total": total}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scfg", "width", "height", "raster_cfg", "opt_cfg",
+                     "white_background", "base_lr", "total_iters"))
+def train_step(state: HairTrainState, head: GaussianFields, pool: ScalpPool,
+               cam_batch: CameraBatch, gt_image, gt_mask, gt_orient_angle,
+               gt_orient_conf, cam_idx, cam_residuals, radius_scale, *,
+               scfg: TexturedStrandsConfig, width: int, height: int,
+               raster_cfg: RasterConfig, opt_cfg: OptimizationConfig,
+               white_background: bool, base_lr: float = 1e-3,
+               total_iters: int = 20000):
+    bg = default_background(white_background)
+    key, sub = jax.random.split(state.key)
+
+    cam = camera_geom(cam_batch.colmap_transform[cam_idx],
+                      cam_batch.fovx[cam_idx], cam_batch.fovy[cam_idx],
+                      width, height, cam_residuals, cam_idx)
+
+    def loss_fn(params):
+        hair, aux = hair_fields_from_strands(params, pool, scfg, sub,
+                                             radius_scale)
+        fields = concat_fields(head, hair)
+        out = render_fields(fields, scfg.sh_degree, cam, bg, raster_cfg)
+        total, parts = stage2_losses(out, gt_image, gt_mask, gt_orient_angle,
+                                     gt_orient_conf, jnp.zeros(()), opt_cfg)
+        return total, parts
+
+    (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+    ok = optim.grads_are_finite(grads)
+    # cosine LR (CosineAnnealingLR(T_max=iters, eta_min=1e-4),
+    # gaussian_model_latent_strands.py:519)
+    t = state.step.astype(jnp.float32)
+    lr = 1e-4 + 0.5 * (base_lr - 1e-4) * (1 + jnp.cos(jnp.pi * t / total_iters))
+    updates, new_opt = optim.adamw_update(grads, state.opt, state.params, lr)
+    keep = ok.astype(jnp.float32)
+    new_params = jax.tree.map(lambda p, u: p + keep * u, state.params, updates)
+    new_opt = jax.lax.cond(ok, lambda: new_opt, lambda: state.opt)
+    return (HairTrainState(new_params, new_opt, state.step + 1, key),
+            dict(parts))
+
+
+def save_checkpoint(state: HairTrainState, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    flat, treedef = jax.tree_util.tree_flatten(
+        (state.params, state.opt.mu, state.opt.nu))
+    blob = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    blob["opt_count"] = np.asarray(state.opt.count)
+    blob["step"] = np.asarray(state.step)
+    blob["key"] = np.asarray(state.key)
+    np.savez(path, **blob)
+
+
+def load_checkpoint(path: str, template: HairTrainState) -> HairTrainState:
+    d = dict(np.load(path))
+    flat, treedef = jax.tree_util.tree_flatten(
+        (template.params, template.opt.mu, template.opt.nu))
+    leaves = [jnp.asarray(d[f"leaf_{i}"]) for i in range(len(flat))]
+    params, mu, nu = jax.tree_util.tree_unflatten(treedef, leaves)
+    return HairTrainState(params,
+                          optim.AdamState(mu, nu, jnp.asarray(d["opt_count"])),
+                          jnp.asarray(d["step"]), jnp.asarray(d["key"]))

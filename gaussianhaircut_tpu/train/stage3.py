@@ -1,0 +1,200 @@
+"""Stage-3 trainer: direct strand-polyline refinement
+(the train_strands.py equivalent, reference src/train_strands.py:41-180 +
+src/scene/gaussian_model_strands.py).
+
+Learnables: per-strand segment vectors ``dirs`` [N, L-1, 3] (positions rebuilt
+by cumsum from frozen stage-2 origins, gaussian_model_strands.py:435-454),
+per-strand SH features and orientation confidence.  Adam with the exponential
+xyz schedule (:578-594).  Loss adds SSIM and the SDS diffusion regularizer to
+the stage-2 stack (train_strands.py:128-147).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussianhaircut_tpu.config import OptimizationConfig
+from gaussianhaircut_tpu.models.strand_prior import ColorDecoder, points_from_segments
+from gaussianhaircut_tpu.models.strands import strands_to_gaussians
+from gaussianhaircut_tpu.models.textured_strands import (
+    ScalpPool, TexturedStrandsConfig, generate_strands,
+)
+from gaussianhaircut_tpu.ops import losses as L
+from gaussianhaircut_tpu.ops.rasterize import RasterConfig
+from gaussianhaircut_tpu.ops.ssim import ssim
+from gaussianhaircut_tpu.render.renderer import (
+    GaussianFields, default_background, render_fields,
+)
+from gaussianhaircut_tpu.scene.cameras import CameraBatch, camera_geom
+from gaussianhaircut_tpu.train import optim
+from gaussianhaircut_tpu.train.stage2 import concat_fields
+
+
+class CurvesParams(NamedTuple):
+    """Learnable stage-3 parameters (gaussian_model_strands.py:571-574)."""
+    dirs: jnp.ndarray           # [N, L-1, 3]
+    features_dc: jnp.ndarray    # [N, 1, 3]
+    features_rest: jnp.ndarray  # [N, K-1, 3]
+    orient_conf: jnp.ndarray    # [N, 1] (log)
+
+
+class CurvesStatic(NamedTuple):
+    """Frozen per-strand data from the stage-2 generator
+    (gaussian_model_strands.py:521-576)."""
+    origins: jnp.ndarray        # [N, 1, 3]
+    uvs: jnp.ndarray            # [N, 2]
+    local2world: jnp.ndarray    # [N, 3, 3]
+    z_geom: jnp.ndarray         # [N, 64]
+
+
+class CurvesTrainState(NamedTuple):
+    params: CurvesParams
+    static: CurvesStatic
+    opt: optim.AdamState
+    step: jnp.ndarray
+
+
+def create_from_stage2(hair_params: dict, pool: ScalpPool,
+                       scfg: TexturedStrandsConfig, key,
+                       num_strands: int) -> tuple[CurvesParams, CurvesStatic]:
+    """Run the stage-2 generator once in inference mode and freeze
+    origins/latents (gaussian_model_strands.py:521-576)."""
+    strands = generate_strands(hair_params, pool, scfg, key, num_strands)
+    dirs = strands.points[:, 1:] - strands.points[:, :-1]
+    n = dirs.shape[0]
+    k = (scfg.sh_degree + 1) ** 2
+    color = ColorDecoder(sh_degree=scfg.sh_degree)
+    out = color.apply(hair_params["color_decoder"], strands.z_app)
+    params = CurvesParams(
+        dirs=dirs,
+        features_dc=out[:, :3].reshape(n, 1, 3),
+        features_rest=out[:, 3:3 * k].reshape(n, k - 1, 3),
+        orient_conf=out[:, 3 * k:].reshape(n, 1),
+    )
+    static = CurvesStatic(strands.points[:, :1], strands.uvs,
+                          strands.local2world, strands.z_geom)
+    return params, static
+
+
+def curves_points(params: CurvesParams, static: CurvesStatic) -> jnp.ndarray:
+    return points_from_segments(static.origins, params.dirs)
+
+
+def curves_fields(params: CurvesParams, static: CurvesStatic,
+                  scfg: TexturedStrandsConfig, radius_scale) -> GaussianFields:
+    pts = curves_points(params, static)
+    sg = strands_to_gaussians(pts, radius_scale)
+    n, s = pts.shape[0], pts.shape[1] - 1
+    k = (scfg.sh_degree + 1) ** 2
+    features = jnp.concatenate([
+        jnp.broadcast_to(params.features_dc[:, None], (n, s, 1, 3)).reshape(n * s, 1, 3),
+        jnp.broadcast_to(params.features_rest[:, None], (n, s, k - 1, 3)).reshape(n * s, k - 1, 3),
+    ], axis=1)
+    oconf = jnp.exp(jnp.broadcast_to(params.orient_conf[:, None], (n, s, 1)).reshape(n * s, 1))
+    ones = jnp.ones((n * s, 1), jnp.float32)
+    return GaussianFields(
+        xyz=sg.xyz, features=features, scaling=sg.scaling,
+        rotation_matrix=sg.rotation_matrix, opacity=ones, label=ones,
+        orient_conf=oconf, valid=jnp.ones(n * s, bool),
+        viewspace=jnp.zeros((n * s, 3), jnp.float32),
+        use_direction=jnp.ones(n * s, jnp.float32))
+
+
+def stage3_losses(out, gt_image, gt_mask, gt_orient_angle, gt_orient_conf,
+                  l_sds, opt_cfg: OptimizationConfig):
+    """train_strands.py:128-147."""
+    ll1 = L.l1_loss(out["render"], gt_image)
+    lssim = 1.0 - ssim(out["render"], gt_image)
+    lmask = L.l1_loss(out["mask"], gt_mask)
+    orient_weight = jnp.ones_like(gt_mask[:1])
+    if opt_cfg.use_gt_orient_conf:
+        orient_weight = orient_weight * gt_orient_conf
+    confs = out["orient_conf"] if opt_cfg.train_orient_conf else None
+    lor = L.or_loss(out["orient_angle"], gt_orient_angle, confs=confs,
+                    weight=orient_weight, mask=gt_mask[:1])
+    lor = jnp.where(jnp.isnan(lor), 0.0, lor)
+    total = (ll1 * opt_cfg.lambda_dl1 + lssim * opt_cfg.lambda_dssim
+             + lmask * opt_cfg.lambda_dmask + lor * opt_cfg.lambda_dorient
+             + l_sds * opt_cfg.lambda_dsds)
+    return total, {"l1": ll1, "ssim": lssim, "mask": lmask, "orient": lor,
+                   "sds": l_sds, "total": total}
+
+
+def param_lrs(opt_cfg: OptimizationConfig, spatial_lr_scale: float, step):
+    """gaussian_model_strands.py:578-594 (dirs follow the xyz schedule)."""
+    xyz_lr = optim.expon_lr(step,
+                            opt_cfg.position_lr_init * spatial_lr_scale,
+                            opt_cfg.position_lr_final * spatial_lr_scale,
+                            lr_delay_mult=opt_cfg.position_lr_delay_mult,
+                            max_steps=opt_cfg.position_lr_max_steps)
+    return CurvesParams(dirs=xyz_lr, features_dc=opt_cfg.feature_lr,
+                        features_rest=opt_cfg.feature_lr / 20.0,
+                        orient_conf=opt_cfg.orient_conf_lr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scfg", "width", "height", "raster_cfg", "opt_cfg",
+                     "white_background", "spatial_lr_scale"))
+def train_step(state: CurvesTrainState, head: GaussianFields,
+               cam_batch: CameraBatch, gt_image, gt_mask, gt_orient_angle,
+               gt_orient_conf, cam_idx, cam_residuals, radius_scale, *,
+               scfg: TexturedStrandsConfig, width: int, height: int,
+               raster_cfg: RasterConfig, opt_cfg: OptimizationConfig,
+               white_background: bool, spatial_lr_scale: float = 1.0):
+    bg = default_background(white_background)
+    cam = camera_geom(cam_batch.colmap_transform[cam_idx],
+                      cam_batch.fovx[cam_idx], cam_batch.fovy[cam_idx],
+                      width, height, cam_residuals, cam_idx)
+
+    def loss_fn(params):
+        hair = curves_fields(params, state.static, scfg, radius_scale)
+        fields = concat_fields(head, hair)
+        out = render_fields(fields, scfg.sh_degree, cam, bg, raster_cfg)
+        return stage3_losses(out, gt_image, gt_mask, gt_orient_angle,
+                             gt_orient_conf, jnp.zeros(()), opt_cfg)
+
+    (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    ok = optim.grads_are_finite(grads)
+    lrs = param_lrs(opt_cfg, spatial_lr_scale, state.step)
+    updates, new_opt = optim.adam_update(grads, state.opt, lrs)
+    keep = ok.astype(jnp.float32)
+    new_params = jax.tree.map(lambda p, u: p + keep * u, state.params, updates)
+    new_opt = jax.lax.cond(ok, lambda: new_opt, lambda: state.opt)
+    return CurvesTrainState(new_params, state.static, new_opt,
+                            state.step + 1), dict(parts)
+
+
+def save_checkpoint(state: CurvesTrainState, path: str) -> None:
+    """The (_pts, features, sh_deg, optimizer) capture analog
+    (gaussian_model_strands.py:86-110)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    blob = {}
+    for tree, pre in ((state.params, "p"), (state.static, "s"),
+                      (state.opt.mu, "mu"), (state.opt.nu, "nu")):
+        for k, v in tree._asdict().items():
+            blob[f"{pre}.{k}"] = np.asarray(v)
+    blob["count"] = np.asarray(state.opt.count)
+    blob["step"] = np.asarray(state.step)
+    np.savez(path, **blob)
+
+
+def load_checkpoint(path: str) -> CurvesTrainState:
+    d = dict(np.load(path))
+    get = lambda pre, cls: cls(**{k.split(".", 1)[1]: jnp.asarray(v)
+                                  for k, v in d.items() if k.startswith(pre + ".")})
+    return CurvesTrainState(
+        get("p", CurvesParams), get("s", CurvesStatic),
+        optim.AdamState(get("mu", CurvesParams), get("nu", CurvesParams),
+                        jnp.asarray(d["count"])),
+        jnp.asarray(d["step"]))
+
+
+def export_points(state: CurvesTrainState) -> np.ndarray:
+    """[N, L, 3] world-space strand polylines (export_curves.py contract)."""
+    return np.asarray(curves_points(state.params, state.static))
