@@ -1,0 +1,82 @@
+"""Offline metrics CLI: SSIM / PSNR / LPIPS over exported render dirs
+(the src/metrics.py equivalent, reference :36-93).
+
+Walks <model_path>/test/<method>/{renders,gt} (same directory contract),
+writes results.json and per_view.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+import jax.numpy as jnp
+from PIL import Image
+
+from gaussianhaircut_tpu.ops.losses import psnr
+from gaussianhaircut_tpu.ops.lpips import lpips_or_none
+from gaussianhaircut_tpu.ops.ssim import ssim
+
+
+def _load(path):
+    arr = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return jnp.asarray(arr.transpose(2, 0, 1))
+
+
+def evaluate_dir(renders_dir: str, gt_dir: str, lpips_weights=None):
+    lp = lpips_or_none(lpips_weights)
+    per_view = {"SSIM": {}, "PSNR": {}, "LPIPS": {}}
+    names = sorted(os.listdir(renders_dir))
+    for name in names:
+        r = _load(os.path.join(renders_dir, name))
+        g = _load(os.path.join(gt_dir, name))
+        per_view["SSIM"][name] = float(ssim(r, g))
+        per_view["PSNR"][name] = float(psnr(r, g))
+        if lp is not None:
+            per_view["LPIPS"][name] = float(lp(r, g))
+    means = {k: float(np.mean(list(v.values()))) for k, v in per_view.items() if v}
+    return means, per_view
+
+
+def evaluate(model_paths, lpips_weights=None):
+    full = {}
+    per = {}
+    for model_path in model_paths:
+        full[model_path] = {}
+        per[model_path] = {}
+        test_dir = os.path.join(model_path, "test")
+        if not os.path.isdir(test_dir):
+            print(f"no test dir under {model_path}")
+            continue
+        for method in sorted(os.listdir(test_dir)):
+            renders = os.path.join(test_dir, method, "renders")
+            gt = os.path.join(test_dir, method, "gt")
+            if not (os.path.isdir(renders) and os.path.isdir(gt)):
+                continue
+            means, views = evaluate_dir(renders, gt, lpips_weights)
+            full[model_path][method] = means
+            per[model_path][method] = views
+            print(f"  {method}: " + "  ".join(
+                f"{k} {v:.7f}" for k, v in means.items()))
+        with open(os.path.join(model_path, "results.json"), "w") as f:
+            json.dump(full[model_path], f, indent=True)
+        with open(os.path.join(model_path, "per_view.json"), "w") as f:
+            json.dump(per[model_path], f, indent=True)
+    return full
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("metrics")
+    parser.add_argument("--model_paths", "-m", nargs="+", required=True)
+    parser.add_argument("--lpips_weights", default=None)
+    args = parser.parse_args(argv)
+    evaluate(args.model_paths, args.lpips_weights)
+
+
+if __name__ == "__main__":
+    main()

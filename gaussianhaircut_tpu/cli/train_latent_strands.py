@@ -1,0 +1,82 @@
+"""Stage-2 training CLI (the train_latent_strands.py entry point,
+reference src/train_latent_strands.py:272-309 — same flag surface;
+strand-network config via the yaml-equivalent flags below)."""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+from gaussianhaircut_tpu import config as cfg_mod
+
+
+def load_scene_scale(source_path: str) -> float:
+    p = os.path.join(source_path, "scale.pickle")
+    if os.path.exists(p):
+        with open(p, "rb") as f:
+            return float(pickle.load(f)["scale"])
+    return 1.0
+
+
+def main(argv=None):
+    from gaussianhaircut_tpu.cli.render_gaussians import (
+        find_max_iteration, load_camera_residuals)
+    from gaussianhaircut_tpu.models import gaussian_model as gm
+    from gaussianhaircut_tpu.models.textured_strands import (
+        ScalpPool, TexturedStrandsConfig, synthetic_scalp_pool)
+    from gaussianhaircut_tpu.scene.dataset import load_scene
+    from gaussianhaircut_tpu.train import stage2
+
+    parser = argparse.ArgumentParser("train_latent_strands")
+    cfg_mod.add_model_args(parser)
+    cfg_mod.add_optim_args(parser)
+    cfg_mod.add_pipeline_args(parser)
+    parser.add_argument("--model_path_hair", type=str, required=True)
+    parser.add_argument("--pointcloud_path_head", type=str, default="")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[20_000])
+    parser.add_argument("--start_checkpoint_hair", type=str, default=None)
+    parser.add_argument("--num_strands", type=int, default=10_000)
+    parser.add_argument("--texture_size", type=int, default=256)
+    args = parser.parse_args(argv)
+
+    model_cfg = cfg_mod.extract(cfg_mod.ModelConfig, args)
+    opt_cfg = cfg_mod.extract(cfg_mod.OptimizationConfig, args)
+    pipe_cfg = cfg_mod.extract(cfg_mod.PipelineConfig, args)
+    scfg = TexturedStrandsConfig(num_strands=args.num_strands,
+                                 texture_size=args.texture_size,
+                                 sh_degree=model_cfg.sh_degree)
+
+    scene = load_scene(model_cfg)
+    iteration = find_max_iteration(model_cfg.model_path)
+    head_ply = args.pointcloud_path_head or os.path.join(
+        model_cfg.model_path, "point_cloud_filtered",
+        f"iteration_{iteration}", "raw_point_cloud.ply")
+    if not os.path.exists(head_ply):
+        head_ply = head_ply.replace("raw_point_cloud", "point_cloud")
+    head_model = gm.load_ply(head_ply, 0, model_cfg.sh_degree)
+
+    residuals = load_camera_residuals(model_cfg.model_path, iteration,
+                                      scene.train_cameras) \
+        if model_cfg.trainable_cameras else None
+
+    if model_cfg.flame_mesh_dir and os.path.isdir(model_cfg.flame_mesh_dir):
+        pool = ScalpPool.from_flame_dir(model_cfg.flame_mesh_dir,
+                                        model_cfg.source_path, scfg)
+    else:
+        print("[warn] no flame_mesh_dir; using synthetic scalp pool")
+        pool = synthetic_scalp_pool(scfg.pool_size)
+
+    scene_scale = load_scene_scale(model_cfg.source_path)
+    stage2.train(model_cfg, opt_cfg, scfg, pipe_cfg, scene, head_model, pool,
+                 scene_scale, residuals, model_path_hair=args.model_path_hair,
+                 checkpoint_iterations=tuple(args.checkpoint_iterations),
+                 start_checkpoint=args.start_checkpoint_hair)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Stage-3 training CLI (the train_strands.py entry point,
+reference src/train_strands.py:269-306)."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
+
+from gaussianhaircut_tpu import config as cfg_mod
+
+
+def main(argv=None):
+    import jax
+
+    from gaussianhaircut_tpu.cli.render_gaussians import (
+        find_max_iteration, load_camera_residuals)
+    from gaussianhaircut_tpu.cli.train_latent_strands import load_scene_scale
+    from gaussianhaircut_tpu.models import gaussian_model as gm
+    from gaussianhaircut_tpu.models.textured_strands import (
+        ScalpPool, TexturedStrandsConfig, synthetic_scalp_pool)
+    from gaussianhaircut_tpu.scene.dataset import load_scene
+    from gaussianhaircut_tpu.train import stage2, stage3
+
+    parser = argparse.ArgumentParser("train_strands")
+    cfg_mod.add_model_args(parser)
+    cfg_mod.add_optim_args(parser)
+    cfg_mod.add_pipeline_args(parser)
+    parser.add_argument("--model_path_hair", type=str, required=True)
+    parser.add_argument("--model_path_curves", type=str, required=True)
+    parser.add_argument("--pointcloud_path_head", type=str, default="")
+    parser.add_argument("--start_checkpoint_hair", type=str, required=True,
+                        help="stage-2 checkpoint npz")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[10_000])
+    parser.add_argument("--start_checkpoint_curves", type=str, default=None)
+    parser.add_argument("--num_strands", type=int, default=10_000)
+    parser.add_argument("--texture_size", type=int, default=256)
+    args = parser.parse_args(argv)
+
+    model_cfg = cfg_mod.extract(cfg_mod.ModelConfig, args)
+    opt_cfg = cfg_mod.extract(cfg_mod.OptimizationConfig, args)
+    pipe_cfg = cfg_mod.extract(cfg_mod.PipelineConfig, args)
+    scfg = TexturedStrandsConfig(num_strands=args.num_strands,
+                                 texture_size=args.texture_size,
+                                 sh_degree=model_cfg.sh_degree)
+
+    scene = load_scene(model_cfg)
+    iteration = find_max_iteration(model_cfg.model_path)
+    head_ply = args.pointcloud_path_head or os.path.join(
+        model_cfg.model_path, "point_cloud_filtered",
+        f"iteration_{iteration}", "raw_point_cloud.ply")
+    if not os.path.exists(head_ply):
+        head_ply = head_ply.replace("raw_point_cloud", "point_cloud")
+    head_model = gm.load_ply(head_ply, 0, model_cfg.sh_degree)
+    residuals = load_camera_residuals(model_cfg.model_path, iteration,
+                                      scene.train_cameras) \
+        if model_cfg.trainable_cameras else None
+
+    if model_cfg.flame_mesh_dir and os.path.isdir(model_cfg.flame_mesh_dir):
+        pool = ScalpPool.from_flame_dir(model_cfg.flame_mesh_dir,
+                                        model_cfg.source_path, scfg)
+    else:
+        print("[warn] no flame_mesh_dir; using synthetic scalp pool")
+        pool = synthetic_scalp_pool(scfg.pool_size)
+
+    hair_state = stage2.init_hair_state(scfg, jax.random.PRNGKey(0))
+    hair_state = stage2.load_checkpoint(args.start_checkpoint_hair, hair_state)
+
+    scene_scale = load_scene_scale(model_cfg.source_path)
+    state = stage3.train(
+        model_cfg, opt_cfg, scfg, pipe_cfg, scene, head_model,
+        hair_state.params, pool, scene_scale, args.num_strands, residuals,
+        model_path_curves=args.model_path_curves,
+        checkpoint_iterations=tuple(args.checkpoint_iterations),
+        start_checkpoint=args.start_checkpoint_curves)
+    print("\nTraining complete.")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -41,28 +41,32 @@ def _tri_incl(ch: int) -> np.ndarray:
     return np.triu(np.ones((ch, ch), np.float32))
 
 
-def _pixel_basis(tile, cfg: C.RasterConfig, gx_grid: int):
-    """[PIX, 8] polynomial basis (px^2, py^2, px*py, px, py, 1, 0, 0) at the
-    absolute pixel centers of `tile`."""
+def _pixel_basis(cfg: C.RasterConfig):
+    """[PIX, 8] polynomial basis (px^2, py^2, px*py, px, py, 1, 0, 0) in
+    TILE-LOCAL pixel coordinates.
+
+    Local (not absolute) coordinates keep every matmul operand small: with
+    absolute coords the quadratic coefficients reach ~1e4 and the MXU's
+    bf16-elevated f32 products lose ~0.1-50 in the exponent (observed as a
+    deterministic mis-render / exp-overflow NaN on hardware)."""
     pix = cfg.tile_pix
-    tx = (tile % gx_grid).astype(_F32)
-    ty = (tile // gx_grid).astype(_F32)
     i = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
-    px = tx * cfg.tile_w + (i % cfg.tile_w).astype(_F32)
-    py = ty * cfg.tile_h + (i // cfg.tile_w).astype(_F32)
+    px = (i % cfg.tile_w).astype(_F32)
+    py = (i // cfg.tile_w).astype(_F32)
     one = jnp.ones_like(px)
     zero = jnp.zeros_like(px)
     return jnp.concatenate(
         [px * px, py * py, px * py, px, py, one, zero, zero], axis=1)
 
 
-def _coef_matrix(feat):
-    """[8, CH] per-instance quadratic coefficients matching `_pixel_basis`.
+def _coef_matrix(feat, tile_x0, tile_y0):
+    """[8, CH] per-instance quadratic coefficients matching `_pixel_basis`
+    (both in tile-local coordinates: gx/gy are shifted by the tile origin).
 
     power(px, py) = -0.5 a dx^2 - 0.5 c dy^2 - b dx dy with dx = gx - px.
     """
-    gx = feat[C.F_GX:C.F_GX + 1, :]
-    gy = feat[C.F_GY:C.F_GY + 1, :]
+    gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)
+    gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
     a = feat[C.F_CA:C.F_CA + 1, :]
     b = feat[C.F_CB:C.F_CB + 1, :]
     cc = feat[C.F_CC:C.F_CC + 1, :]
@@ -78,11 +82,19 @@ def _coef_matrix(feat):
     ], axis=0)
 
 
-def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in):
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0):
     """Shared fwd/bwd per-chunk math.  Returns a dict of [PIX, CH] arrays and
-    per-chunk updates, mirroring forward.cu:351-388 semantics exactly."""
-    coef = _coef_matrix(feat)
-    power = jnp.dot(basis, coef, preferred_element_type=_F32)          # [PIX, CH]
+    per-chunk updates, mirroring forward.cu:351-388 semantics exactly.
+
+    All matmuls force Precision.HIGHEST: the default TPU matmul precision
+    truncates f32 operands to bf16, which is catastrophic for exponents and
+    log-space prefix sums."""
+    coef = _coef_matrix(feat, tile_x0, tile_y0)
+    power = jnp.dot(basis, coef, preferred_element_type=_F32,
+                    precision=_HI)                                      # [PIX, CH]
     op = feat[C.F_OP:C.F_OP + 1, :]
     vld = feat[C.F_VALID:C.F_VALID + 1, :]
     expp = jnp.exp(power)
@@ -93,12 +105,13 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in):
     one_m = 1.0 - alpha
 
     logs = jnp.log1p(-alpha)
-    s_incl = jnp.dot(logs, u_tri, preferred_element_type=_F32)
+    s_incl = jnp.dot(logs, u_tri, preferred_element_type=_F32, precision=_HI)
     t_incl = jnp.exp(s_incl)
     t_excl = jnp.exp(s_incl - logs)
     test = t_in * t_incl
     fail = cand & (test < C.T_EPS)
-    failcum = jnp.dot(fail.astype(_F32), u_tri, preferred_element_type=_F32)
+    failcum = jnp.dot(fail.astype(_F32), u_tri, preferred_element_type=_F32,
+                      precision=_HI)
     contrib = cand & (failcum < 0.5) & (done_in < 0.5)
     t_before = t_in * t_excl
     w = jnp.where(contrib, alpha * t_before, 0.0)
@@ -133,9 +146,13 @@ def _fwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, out_ref, acc_ref,
     done_in = acc[:, C.CH_DONE:C.CH_DONE + 1]
     t_in = acc[:, C.CH_TRANS:C.CH_TRANS + 1]
 
-    basis = _pixel_basis(tile, cfg, gx_grid)
-    q = _chunk_blend_quantities(feat_ref[0], u_ref[:, :], basis, t_in, done_in)
-    d_color = jnp.dot(q["w"], col_ref[0], preferred_element_type=_F32)
+    tile_x0 = (tile % gx_grid) * cfg.tile_w
+    tile_y0 = (tile // gx_grid) * cfg.tile_h
+    basis = _pixel_basis(cfg)
+    q = _chunk_blend_quantities(feat_ref[0], u_ref[:, :], basis, t_in, done_in,
+                                tile_x0, tile_y0)
+    d_color = jnp.dot(q["w"], col_ref[0], preferred_element_type=_F32,
+                      precision=_HI)
     new_acc = acc + d_color
     new_acc = jnp.where(lane == C.CH_DONE, q["done_new"], new_acc)
     new_acc = jnp.where(lane == C.CH_TRANS, q["t_new"], new_acc)
@@ -203,14 +220,19 @@ def _bwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, gbuf_ref, obuf_ref,
 
     feat = feat_ref[0]
     col = col_ref[0]
-    basis = _pixel_basis(tile, cfg, gx_grid)
-    q = _chunk_blend_quantities(feat, u_ref[:, :], basis, t_in, done_in)
+    tile_x0 = (tile % gx_grid) * cfg.tile_w
+    tile_y0 = (tile // gx_grid) * cfg.tile_h
+    basis = _pixel_basis(cfg)
+    q = _chunk_blend_quantities(feat, u_ref[:, :], basis, t_in, done_in,
+                                tile_x0, tile_y0)
 
     # u[pix, i] = sum_ch g[pix, ch] * col[i, ch]
     u = jax.lax.dot_general(g, col, (((1,), (1,)), ((), ())),
-                            preferred_element_type=_F32)            # [PIX, CH]
+                            preferred_element_type=_F32,
+                            precision=_HI)                          # [PIX, CH]
     uw = u * q["w"]
-    prefix_incl = prefix_in + jnp.dot(uw, u_ref[:, :], preferred_element_type=_F32)
+    prefix_incl = prefix_in + jnp.dot(uw, u_ref[:, :],
+                                      preferred_element_type=_F32, precision=_HI)
     a_suffix = total - prefix_incl
     dalpha = jnp.where(q["contrib"],
                        u * q["t_before"] - a_suffix / q["one_m"], 0.0)
@@ -219,8 +241,10 @@ def _bwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, gbuf_ref, obuf_ref,
     m = dalpha * q["raw"]                                           # dL/dpower
     d_op = jnp.sum(dalpha * q["expp"], axis=0, keepdims=True)       # [1, CH]
 
+    # moments are in tile-local pixel coordinates, matching the local basis
     moments = jax.lax.dot_general(m, basis, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=_F32)      # [CH, 8]
+                                  preferred_element_type=_F32,
+                                  precision=_HI)                    # [CH, 8]
     mxx = moments[:, 0][None, :]
     myy = moments[:, 1][None, :]
     mxy = moments[:, 2][None, :]
@@ -228,8 +252,8 @@ def _bwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, gbuf_ref, obuf_ref,
     my = moments[:, 4][None, :]
     m1 = moments[:, 5][None, :]
 
-    gx = feat[C.F_GX:C.F_GX + 1, :]
-    gy = feat[C.F_GY:C.F_GY + 1, :]
+    gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)
+    gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
     a = feat[C.F_CA:C.F_CA + 1, :]
     b = feat[C.F_CB:C.F_CB + 1, :]
     cc = feat[C.F_CC:C.F_CC + 1, :]
@@ -250,7 +274,8 @@ def _bwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, gbuf_ref, obuf_ref,
         [d_gx, d_gy, d_a, d_b, d_c, d_op, zero, zero], axis=0)      # [8, CH]
 
     dcol_ref[0] = jax.lax.dot_general(
-        q["w"], g, (((0,), (0,)), ((), ())), preferred_element_type=_F32)
+        q["w"], g, (((0,), (0,)), ((), ())), preferred_element_type=_F32,
+        precision=_HI)
 
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
     prefix_new = prefix_in + jnp.sum(uw, axis=1, keepdims=True)

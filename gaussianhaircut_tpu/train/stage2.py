@@ -186,6 +186,57 @@ def train_step(state: HairTrainState, head: GaussianFields, pool: ScalpPool,
             dict(parts))
 
 
+def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
+          head_model: gm.GaussianModelState, pool: ScalpPool, scene_scale,
+          cam_residuals=None, *, model_path_hair: str = "",
+          checkpoint_iterations=(20000,), start_checkpoint=None,
+          progress_callback=None) -> HairTrainState:
+    """Host loop (train_latent_strands.py:87-181)."""
+    import random
+
+    cams = scene.train_cameras
+    width, height = cams[0].width, cams[0].height
+    cam_batch = CameraBatch.from_cameras(cams)
+    from gaussianhaircut_tpu.train.stage1 import GtBatch
+    gt = GtBatch.from_cameras(cams)
+    head = make_head_fields(head_model)
+
+    state = init_hair_state(scfg, jax.random.PRNGKey(0))
+    if start_checkpoint:
+        state = load_checkpoint(start_checkpoint, state)
+
+    raster_cfg = RasterConfig(tile_w=pipe_cfg.tile, tile_h=pipe_cfg.tile,
+                              capacity_mult=pipe_cfg.instance_capacity_mult,
+                              backend=pipe_cfg.raster_backend)
+    radius_scale = jnp.asarray(model_cfg.strand_scale * float(scene_scale),
+                               jnp.float32)
+    logger = MetricsLogger(model_path_hair) if model_path_hair else None
+    rng = random.Random(0)
+    stack = []
+    for iteration in range(int(state.step) + 1, opt_cfg.iterations + 1):
+        if not stack:
+            stack = list(range(len(cams)))
+            rng.shuffle(stack)
+        cam_idx = stack.pop(rng.randrange(len(stack)))
+        state, metrics = train_step(
+            state, head, pool, cam_batch, gt.image[cam_idx], gt.mask[cam_idx],
+            gt.orient_angle[cam_idx], gt.orient_conf[cam_idx],
+            jnp.asarray(cam_idx), cam_residuals, radius_scale,
+            scfg=scfg, width=width, height=height, raster_cfg=raster_cfg,
+            opt_cfg=opt_cfg, white_background=model_cfg.white_background,
+            total_iters=opt_cfg.iterations)
+        if logger and iteration % 10 == 0:
+            logger.scalars(iteration, **{k: float(v) for k, v in metrics.items()})
+        if progress_callback:
+            progress_callback(iteration, state, metrics)
+        if iteration in checkpoint_iterations and model_path_hair:
+            save_checkpoint(state, os.path.join(model_path_hair, "checkpoints",
+                                                f"{iteration}.npz"))
+    if logger:
+        logger.close()
+    return state
+
+
 def save_checkpoint(state: HairTrainState, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     flat, treedef = jax.tree_util.tree_flatten(

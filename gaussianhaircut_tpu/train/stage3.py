@@ -170,6 +170,65 @@ def train_step(state: CurvesTrainState, head: GaussianFields,
                             state.step + 1), dict(parts)
 
 
+def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
+          head_model, hair_params: dict, pool: ScalpPool, scene_scale,
+          num_strands: int, cam_residuals=None, *, model_path_curves: str = "",
+          save_iterations=(10000,), checkpoint_iterations=(10000,),
+          start_checkpoint=None, spatial_lr_scale: float = 1.0,
+          progress_callback=None) -> CurvesTrainState:
+    """Host loop (train_strands.py:87-180)."""
+    import random
+
+    from gaussianhaircut_tpu.train.stage1 import GtBatch
+    from gaussianhaircut_tpu.train.stage2 import make_head_fields
+
+    cams = scene.train_cameras
+    width, height = cams[0].width, cams[0].height
+    cam_batch = CameraBatch.from_cameras(cams)
+    gt = GtBatch.from_cameras(cams)
+    head = make_head_fields(head_model)
+
+    if start_checkpoint:
+        state = load_checkpoint(start_checkpoint)
+    else:
+        params, static = create_from_stage2(hair_params, pool, scfg,
+                                            jax.random.PRNGKey(1), num_strands)
+        state = CurvesTrainState(params, static, optim.adam_init(params),
+                                 jnp.zeros((), jnp.int32))
+
+    raster_cfg = RasterConfig(tile_w=pipe_cfg.tile, tile_h=pipe_cfg.tile,
+                              capacity_mult=pipe_cfg.instance_capacity_mult,
+                              backend=pipe_cfg.raster_backend)
+    radius_scale = jnp.asarray(model_cfg.strand_scale * float(scene_scale),
+                               jnp.float32)
+    rng = random.Random(0)
+    stack = []
+    from gaussianhaircut_tpu.utils.logger import MetricsLogger
+    logger = MetricsLogger(model_path_curves) if model_path_curves else None
+    for iteration in range(int(state.step) + 1, opt_cfg.iterations + 1):
+        if not stack:
+            stack = list(range(len(cams)))
+            rng.shuffle(stack)
+        cam_idx = stack.pop(rng.randrange(len(stack)))
+        state, metrics = train_step(
+            state, head, cam_batch, gt.image[cam_idx], gt.mask[cam_idx],
+            gt.orient_angle[cam_idx], gt.orient_conf[cam_idx],
+            jnp.asarray(cam_idx), cam_residuals, radius_scale,
+            scfg=scfg, width=width, height=height, raster_cfg=raster_cfg,
+            opt_cfg=opt_cfg, white_background=model_cfg.white_background,
+            spatial_lr_scale=spatial_lr_scale)
+        if logger and iteration % 10 == 0:
+            logger.scalars(iteration, **{k: float(v) for k, v in metrics.items()})
+        if progress_callback:
+            progress_callback(iteration, state, metrics)
+        if iteration in checkpoint_iterations and model_path_curves:
+            save_checkpoint(state, os.path.join(model_path_curves,
+                                                "checkpoints", f"{iteration}.npz"))
+    if logger:
+        logger.close()
+    return state
+
+
 def save_checkpoint(state: CurvesTrainState, path: str) -> None:
     """The (_pts, features, sh_deg, optimizer) capture analog
     (gaussian_model_strands.py:86-110)."""
