@@ -102,6 +102,11 @@ def read_cameras_text(path: str) -> dict[int, ColmapCamera]:
 
 
 def read_images_binary(path: str) -> dict[int, ColmapImage]:
+    from gaussianhaircut_tpu import native
+    fast = native.read_colmap_images(path)
+    if fast is not None:
+        return {iid: ColmapImage(iid, q, t, cid, name)
+                for iid, q, t, cid, name in fast}
     imgs = {}
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
@@ -138,6 +143,10 @@ def read_images_text(path: str) -> dict[int, ColmapImage]:
 
 def read_points3d_binary(path: str):
     """-> (xyz [N,3], rgb [N,3] uint8, err [N])."""
+    from gaussianhaircut_tpu import native
+    fast = native.read_colmap_points3d(path)
+    if fast is not None:
+        return fast
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         xyz = np.empty((n, 3))

@@ -23,6 +23,14 @@ _NP_TO_PLY = {"f4": "float", "f8": "double", "u1": "uchar", "i1": "char",
 
 def read_ply(path: str) -> dict[str, np.ndarray]:
     """Read a PLY file -> {element_name: structured array}."""
+    from gaussianhaircut_tpu import native
+    fast = native.read_ply_vertex_f32(path)
+    if fast is not None:
+        names, data = fast
+        v = np.empty(data.shape[0], dtype=[(n, "<f4") for n in names])
+        for i, n in enumerate(names):
+            v[n] = data[:, i]
+        return {"vertex": v}
     with open(path, "rb") as f:
         magic = f.readline().strip()
         if magic != b"ply":
