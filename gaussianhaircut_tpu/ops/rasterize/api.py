@@ -7,17 +7,19 @@ depths (the same differentiable surface the reference exposes — see
 SURVEY.md §7.1), and returns the composited 10-channel image plus auxiliary
 visibility data.
 
-Differentiation:
-- geometry bookkeeping (culling, tile rects, sort, chunk layout) is
-  stop-gradiented;
-- the gathers building instance buffers are differentiable, so their autodiff
-  transpose performs the deterministic scatter-add of per-instance gradients
-  back to Gaussians (replacing the CUDA backward's atomics);
-- the compositing core is either the Pallas kernel pair under `jax.custom_vjp`
-  (TPU) or the chunk-scan jnp implementation under plain autodiff (CPU).
-- the NDC->pixel conversion happens inside this function, so the cotangent
-  w.r.t. `ndc` matches the reference's dL_dmean2D * (0.5 W, 0.5 H) routing
-  (backward.cu:462-465 -> ext __init__.py:155-166).
+Two backends:
+- **pallas** (TPU): ONE ``jax.custom_vjp`` spanning binning + kernel +
+  assembly.  The backward runs the Pallas backward kernel to per-instance
+  gradients, then reduces them to per-Gaussian gradients with a
+  sort + gather + cumsum segment reduction (deterministic, and ~10x faster
+  than XLA's scatter-add transpose of the binning gathers, which dominated
+  the step time when autodiff handled it);
+- **jnp** (CPU/debug): the chunk-scan implementation under plain autodiff.
+
+Gradient routing matches the reference: the NDC->pixel conversion lives
+inside the VJP, so d(ndc) carries the 0.5*W / 0.5*H factors of
+backward.cu:462-465; depth orders but never differentiates; bg receives its
+true cotangent sum(T_final * g).
 """
 from __future__ import annotations
 
@@ -33,43 +35,6 @@ from gaussianhaircut_tpu.ops.rasterize import jnp_core, pallas_core
 from gaussianhaircut_tpu.ops.rasterize.common import RasterConfig  # noqa: F401
 
 
-def _float0_zeros(x):
-    return np.zeros(x.shape, dtype=jax.dtypes.float0)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _core_pallas(feat, colors, tile_of_chunk, chunk_in_tile, gid, num_rendered,
-                 num_tiles, width, height, cfg):
-    binned = C.Binned(feat, colors, tile_of_chunk, chunk_in_tile, gid,
-                      num_rendered, num_tiles)
-    return pallas_core.raster_core_pallas_fwd(
-        binned, width, height, cfg, interpret=_interpret())
-
-
-def _core_pallas_fwd(feat, colors, tile_of_chunk, chunk_in_tile, gid,
-                     num_rendered, num_tiles, width, height, cfg):
-    binned = C.Binned(feat, colors, tile_of_chunk, chunk_in_tile, gid,
-                      num_rendered, num_tiles)
-    tile_buf = pallas_core.raster_core_pallas_fwd(
-        binned, width, height, cfg, interpret=_interpret())
-    return tile_buf, (feat, colors, tile_of_chunk, chunk_in_tile, gid,
-                      num_rendered, tile_buf)
-
-
-def _core_pallas_bwd(num_tiles, width, height, cfg, res, gbuf):
-    feat, colors, tile_of_chunk, chunk_in_tile, gid, num_rendered, tile_buf = res
-    binned = C.Binned(feat, colors, tile_of_chunk, chunk_in_tile, gid,
-                      num_rendered, num_tiles)
-    dfeat, dcol = pallas_core.raster_core_pallas_bwd(
-        binned, tile_buf, gbuf, width, height, cfg, interpret=_interpret())
-    return (dfeat, dcol, _float0_zeros(tile_of_chunk),
-            _float0_zeros(chunk_in_tile), _float0_zeros(gid),
-            _float0_zeros(num_rendered))
-
-
-_core_pallas.defvjp(_core_pallas_fwd, _core_pallas_bwd)
-
-
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -78,6 +43,124 @@ def _resolve_backend(cfg: C.RasterConfig) -> str:
     if cfg.backend != "auto":
         return cfg.backend
     return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
+def ndc_xy_to_pixel(ndc: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """[P, >=2] NDC -> [P, 2] pixel centers (cuda ndc2Pix)."""
+    size = jnp.asarray([width, height], dtype=ndc.dtype)
+    return ((ndc[:, :2] + 1.0) * size - 1.0) * 0.5
+
+
+def _prepare(ndc, conic, colors, opacity, depth, valid, width, height, cfg):
+    sg = jax.lax.stop_gradient
+    mean_pix = ndc_xy_to_pixel(ndc, width, height)
+    pre = C.preprocess(sg(mean_pix), sg(conic), sg(depth), valid, width,
+                       height, cfg)
+    binned = C.bin_instances(pre, mean_pix, conic, opacity, colors, depth,
+                             width, height, cfg)
+    return pre, binned
+
+
+def _disassemble_cotangent(g_img, g_t, bg, width, height, cfg):
+    """Cotangent of the assembled image -> tile-buffer cotangent [T, PIX, 16]
+    (the inverse of common.assemble_image)."""
+    gx_grid, gy_grid = cfg.grid(width, height)
+    hp, wp = gy_grid * cfg.tile_h, gx_grid * cfg.tile_w
+    g_img = jnp.pad(g_img, ((0, 0), (0, hp - height), (0, wp - width)))
+    g_t = jnp.pad(g_t, ((0, hp - height), (0, wp - width)))
+    # [10, Hp, Wp] -> [T, PIX, 10]
+    gi = g_img.reshape(C.NUM_CHANNELS, gy_grid, cfg.tile_h, gx_grid, cfg.tile_w)
+    gi = gi.transpose(1, 3, 2, 4, 0).reshape(-1, cfg.tile_pix, C.NUM_CHANNELS)
+    gt = g_t.reshape(gy_grid, cfg.tile_h, gx_grid, cfg.tile_w)
+    gt = gt.transpose(0, 2, 1, 3).reshape(-1, cfg.tile_pix)
+    # T_final channel cotangent: direct g_T plus the bg-blend term
+    g15 = gt + jnp.einsum("tpc,c->tp", gi, bg[:C.NUM_CHANNELS])
+    zeros = jnp.zeros(gi.shape[:2] + (C.PAD_CHANNELS - C.NUM_CHANNELS - 1,),
+                      gi.dtype)
+    return jnp.concatenate([gi, zeros, g15[..., None]], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _rasterize_pallas(ndc, conic, colors, opacity, depth, valid, bg,
+                      width, height, cfg):
+    out, _ = _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid,
+                                   bg, width, height, cfg)
+    return out
+
+
+def _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid, bg,
+                          width, height, cfg):
+    pre, binned = _prepare(ndc, conic, colors, opacity, depth, valid,
+                           width, height, cfg)
+    tile_buf = pallas_core.raster_core_pallas_fwd(binned, width, height, cfg,
+                                                  interpret=_interpret())
+    image, t_final = C.assemble_image(tile_buf, bg, width, height, cfg)
+    radii = jax.lax.stop_gradient(pre.radius).astype(jnp.int32)
+    visibility = pre.valid & (pre.radius > 0)
+    out = (image, t_final, radii, visibility, binned.num_rendered)
+    return out, (binned, tile_buf, bg, t_final)
+
+
+def _rasterize_pallas_bwd(width, height, cfg, res, cot):
+    binned, tile_buf, bg, t_final = res
+    g_img, g_t, _g_radii, _g_vis, _g_num = cot
+
+    gbuf = _disassemble_cotangent(g_img, g_t, bg, width, height, cfg)
+    dfeat, dcol = pallas_core.raster_core_pallas_bwd(
+        binned, tile_buf, gbuf, width, height, cfg, interpret=_interpret())
+
+    # ---- deterministic per-Gaussian reduction ----
+    tc, _, ch = dfeat.shape
+    s = tc * ch
+    p = binned.gauss_offset.shape[0]
+    cap = cfg.instance_capacity(p)
+    g24 = jnp.concatenate([
+        dfeat.swapaxes(1, 2).reshape(s, 8),
+        dcol.reshape(s, C.PAD_CHANNELS),
+    ], axis=-1)                                                   # [S, 24]
+    orig = binned.orig.reshape(s)
+    # slots sorted by expansion index -> gather puts gradients in the
+    # gid-contiguous expansion order (invalid slots carry zero gradients)
+    _, order = jax.lax.sort((orig, jnp.arange(s, dtype=jnp.int32)), num_keys=1)
+    g24 = g24[order[:cap]]
+    csum = jnp.cumsum(g24, axis=0)                                # [cap, 24]
+
+    off = binned.gauss_offset
+    cnt = binned.gauss_count
+    end = jnp.clip(off + cnt - 1, 0, cap - 1)
+    seg = csum[end] - jnp.where((off > 0)[:, None],
+                                csum[jnp.maximum(off - 1, 0)], 0.0)
+    seg = jnp.where((cnt > 0)[:, None], seg, 0.0)                 # [P, 24]
+
+    d_gx = seg[:, C.F_GX]
+    d_gy = seg[:, C.F_GY]
+    d_ndc = jnp.stack([d_gx * (width * 0.5), d_gy * (height * 0.5),
+                       jnp.zeros_like(d_gx)], axis=-1)
+    d_conic = seg[:, C.F_CA:C.F_CC + 1]
+    d_opacity = seg[:, C.F_OP:C.F_OP + 1]
+    d_colors = seg[:, 8:8 + C.NUM_CHANNELS]
+    d_bg_img = jnp.einsum("chw,hw->c", g_img, t_final)
+    d_bg = jnp.pad(d_bg_img, (0, bg.shape[0] - C.NUM_CHANNELS))
+
+    d_depth = jnp.zeros_like(d_gx)
+    d_valid = np.zeros(d_gx.shape, dtype=jax.dtypes.float0)
+    return (d_ndc, d_conic, d_colors, d_opacity, d_depth, d_valid, d_bg)
+
+
+_rasterize_pallas.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)
+
+
+def _rasterize_jnp(ndc, conic, colors, opacity, depth, valid, bg,
+                   width, height, cfg):
+    """CPU/debug path: chunk-scan core under plain autodiff (the binning
+    gathers' transpose handles the reduction)."""
+    pre, binned = _prepare(ndc, conic, colors, opacity, depth, valid,
+                           width, height, cfg)
+    tile_buf = jnp_core.raster_core_jnp(binned, width, height, cfg)
+    image, t_final = C.assemble_image(tile_buf, bg, width, height, cfg)
+    radii = jax.lax.stop_gradient(pre.radius).astype(jnp.int32)
+    visibility = pre.valid & (pre.radius > 0)
+    return image, t_final, radii, visibility, binned.num_rendered
 
 
 def rasterize(ndc: jnp.ndarray, conic: jnp.ndarray, colors: jnp.ndarray,
@@ -101,36 +184,17 @@ def rasterize(ndc: jnp.ndarray, conic: jnp.ndarray, colors: jnp.ndarray,
       visibility [P] bool, num_rendered scalar.
     """
     cfg = cfg or C.RasterConfig()
-    sg = jax.lax.stop_gradient
-    mean_pix = ndc_xy_to_pixel(ndc, width, height)
-    depth = sg(depth)
-
-    pre = C.preprocess(sg(mean_pix), sg(conic), depth, valid, width, height, cfg)
-    binned = C.bin_instances(pre, mean_pix, conic, opacity, colors, depth,
-                             width, height, cfg)
-
     backend = _resolve_backend(cfg)
-    if backend == "pallas":
-        tile_buf = _core_pallas(binned.feat, binned.colors,
-                                binned.tile_of_chunk, binned.chunk_in_tile,
-                                binned.gid, binned.num_rendered,
-                                binned.num_tiles, width, height, cfg)
-    elif backend == "jnp":
-        tile_buf = jnp_core.raster_core_jnp(binned, width, height, cfg)
-    else:
+    fn = _rasterize_pallas if backend == "pallas" else _rasterize_jnp
+    if backend not in ("pallas", "jnp"):
         raise ValueError(f"unknown rasterize backend: {backend}")
-
-    image, t_final = C.assemble_image(tile_buf, bg, width, height, cfg)
+    image, t_final, radii, visibility, num_rendered = fn(
+        ndc, conic, colors, opacity, depth.astype(jnp.float32), valid, bg,
+        width, height, cfg)
     return {
         "render": image,
         "final_T": t_final,
-        "radii": sg(pre.radius).astype(jnp.int32),
-        "visibility": pre.valid & (pre.radius > 0),
-        "num_rendered": binned.num_rendered,
+        "radii": radii,
+        "visibility": visibility,
+        "num_rendered": num_rendered,
     }
-
-
-def ndc_xy_to_pixel(ndc: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
-    """[P, >=2] NDC -> [P, 2] pixel centers (cuda ndc2Pix)."""
-    size = jnp.asarray([width, height], dtype=ndc.dtype)
-    return ((ndc[:, :2] + 1.0) * size - 1.0) * 0.5

@@ -74,6 +74,12 @@ class Binned(NamedTuple):
     tile_of_chunk: jnp.ndarray   # [TC] int32
     chunk_in_tile: jnp.ndarray   # [TC] int32 (0 marks first chunk of its tile)
     gid: jnp.ndarray             # [TC, CH] int32 source Gaussian per slot (P if invalid)
+    orig: jnp.ndarray            # [TC, CH] int32 pre-sort (gid-ordered) expansion
+                                 # index per slot (cap-based sentinel if invalid);
+                                 # the key to the deterministic segment reduction
+                                 # in the backward
+    gauss_offset: jnp.ndarray    # [P] int32 exclusive prefix of tiles_touched
+    gauss_count: jnp.ndarray     # [P] int32 tiles_touched
     num_rendered: jnp.ndarray    # scalar int32, pre-truncation instance count
     num_tiles: int               # static
 
@@ -158,10 +164,12 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x, num_tiles).astype(jnp.int32)
 
     # --- the radix sort: (tile, depth, id) lexicographic, like the stable
-    # CUDA sort on (tile << 32 | depth-bits) ---
+    # CUDA sort on (tile << 32 | depth-bits); the expansion index rides along
+    # as payload so the backward can undo the permutation with a gather ---
     inst_depth = jnp.where(inst_valid, depth[gid], jnp.inf).astype(jnp.float32)
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tile_id, inst_depth, gid), num_keys=3)
+    inst_idx = jnp.arange(cap, dtype=jnp.int32)
+    tile_sorted, _, gid_sorted, orig_sorted = jax.lax.sort(
+        (tile_id, inst_depth, gid, inst_idx), num_keys=3)
 
     # --- identifyTileRanges -> chunk-aligned layout ---
     counts = jax.ops.segment_sum(
@@ -183,6 +191,7 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     slot_ok = off_in_tile < counts[slot_tile]
     src = jnp.where(slot_ok, tile_start[slot_tile] + off_in_tile, cap - 1)
     gid_slot = jnp.where(slot_ok, gid_sorted[src], p).astype(jnp.int32)
+    orig_slot = jnp.where(slot_ok, orig_sorted[src], cap).astype(jnp.int32)
 
     # --- gather per-instance features (differentiable) ---
     safe_gid = jnp.minimum(gid_slot, p - 1)
@@ -206,6 +215,9 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     return Binned(feat=feat, colors=col, tile_of_chunk=tile_of_chunk,
                   chunk_in_tile=chunk_in_tile,
                   gid=gid_slot.reshape(total_chunks, ch),
+                  orig=orig_slot.reshape(total_chunks, ch),
+                  gauss_offset=offsets.astype(jnp.int32),
+                  gauss_count=pre.tiles_touched,
                   num_rendered=total.astype(jnp.int32), num_tiles=num_tiles)
 
 

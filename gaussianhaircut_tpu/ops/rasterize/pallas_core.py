@@ -83,15 +83,32 @@ def _coef_matrix(feat, tile_x0, tile_y0):
 
 
 _HI = jax.lax.Precision.HIGHEST
+_BF16 = jnp.bfloat16
+
+
+def _prefix_matmul_f32(x, u_tri_bf16):
+    """Inclusive prefix sum of x [PIX, CH] along CH via one bf16 matmul with
+    a 3-way float split (~f32 accuracy at 1/6 the cost of a
+    Precision.HIGHEST f32 matmul; the 0/1 triangular matrix is exact in
+    bf16 and the MXU accumulates in f32)."""
+    hi = x.astype(_BF16).astype(jnp.float32)
+    r = x - hi
+    mid = r.astype(_BF16).astype(jnp.float32)
+    lo = (r - mid).astype(_BF16)
+    stacked = jnp.concatenate([hi.astype(_BF16), mid.astype(_BF16), lo], axis=0)
+    out = jnp.dot(stacked, u_tri_bf16, preferred_element_type=jnp.float32)
+    n = x.shape[0]
+    return out[:n] + out[n:2 * n] + out[2 * n:]
 
 
 def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0):
     """Shared fwd/bwd per-chunk math.  Returns a dict of [PIX, CH] arrays and
     per-chunk updates, mirroring forward.cu:351-388 semantics exactly.
 
-    All matmuls force Precision.HIGHEST: the default TPU matmul precision
-    truncates f32 operands to bf16, which is catastrophic for exponents and
-    log-space prefix sums."""
+    Precision strategy: the default TPU matmul precision truncates f32
+    operands to bf16 (catastrophic for exponents / log prefix sums), so the
+    small matmuls run at Precision.HIGHEST and the big triangular prefix
+    matmuls use an exact-enough 3-way bf16 split (_prefix_matmul_f32)."""
     coef = _coef_matrix(feat, tile_x0, tile_y0)
     power = jnp.dot(basis, coef, preferred_element_type=_F32,
                     precision=_HI)                                      # [PIX, CH]
@@ -105,13 +122,14 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0)
     one_m = 1.0 - alpha
 
     logs = jnp.log1p(-alpha)
-    s_incl = jnp.dot(logs, u_tri, preferred_element_type=_F32, precision=_HI)
+    s_incl = _prefix_matmul_f32(logs, u_tri)
     t_incl = jnp.exp(s_incl)
     t_excl = jnp.exp(s_incl - logs)
     test = t_in * t_incl
     fail = cand & (test < C.T_EPS)
-    failcum = jnp.dot(fail.astype(_F32), u_tri, preferred_element_type=_F32,
-                      precision=_HI)
+    # 0/1 values and counts <= CH are exact in a single bf16 pass
+    failcum = jnp.dot(fail.astype(_BF16), u_tri,
+                      preferred_element_type=_F32)
     contrib = cand & (failcum < 0.5) & (done_in < 0.5)
     t_before = t_in * t_excl
     w = jnp.where(contrib, alpha * t_before, 0.0)
@@ -142,22 +160,32 @@ def _fwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, out_ref, acc_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (pix, C.PAD_CHANNELS), 1)
 
     init = jnp.where(lane == C.CH_TRANS, 1.0, 0.0).astype(_F32)
-    acc = jnp.where(k == 0, init, acc_ref[:, :])
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:, :] = init
+
+    acc = acc_ref[:, :]
     done_in = acc[:, C.CH_DONE:C.CH_DONE + 1]
     t_in = acc[:, C.CH_TRANS:C.CH_TRANS + 1]
 
-    tile_x0 = (tile % gx_grid) * cfg.tile_w
-    tile_y0 = (tile // gx_grid) * cfg.tile_h
-    basis = _pixel_basis(cfg)
-    q = _chunk_blend_quantities(feat_ref[0], u_ref[:, :], basis, t_in, done_in,
-                                tile_x0, tile_y0)
-    d_color = jnp.dot(q["w"], col_ref[0], preferred_element_type=_F32,
-                      precision=_HI)
-    new_acc = acc + d_color
-    new_acc = jnp.where(lane == C.CH_DONE, q["done_new"], new_acc)
-    new_acc = jnp.where(lane == C.CH_TRANS, q["t_new"], new_acc)
-    acc_ref[:, :] = new_acc
-    out_ref[0] = new_acc
+    # early termination at tile granularity (the block-vote analog of
+    # forward.cu:334-337): skip the chunk when every pixel latched done
+    @pl.when(jnp.min(done_in) < 0.5)
+    def _():
+        tile_x0 = (tile % gx_grid) * cfg.tile_w
+        tile_y0 = (tile // gx_grid) * cfg.tile_h
+        basis = _pixel_basis(cfg)
+        q = _chunk_blend_quantities(feat_ref[0], u_ref[:, :], basis, t_in,
+                                    done_in, tile_x0, tile_y0)
+        d_color = jnp.dot(q["w"], col_ref[0], preferred_element_type=_F32,
+                          precision=_HI)
+        new_acc = acc + d_color
+        new_acc = jnp.where(lane == C.CH_DONE, q["done_new"], new_acc)
+        new_acc = jnp.where(lane == C.CH_TRANS, q["t_new"], new_acc)
+        acc_ref[:, :] = new_acc
+
+    out_ref[0] = acc_ref[:, :]
 
 
 def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
@@ -166,7 +194,7 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
     tc = binned.feat.shape[0]
     ch = cfg.chunk
     pix = cfg.tile_pix
-    u_tri = jnp.asarray(_tri_incl(ch))
+    u_tri = jnp.asarray(_tri_incl(ch), dtype=_BF16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -218,71 +246,79 @@ def _bwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, gbuf_ref, obuf_ref,
     prefix_in = carry[:, 2:3]
     total = carry[:, 3:4]
 
-    feat = feat_ref[0]
-    col = col_ref[0]
-    tile_x0 = (tile % gx_grid) * cfg.tile_w
-    tile_y0 = (tile // gx_grid) * cfg.tile_h
-    basis = _pixel_basis(cfg)
-    q = _chunk_blend_quantities(feat, u_ref[:, :], basis, t_in, done_in,
-                                tile_x0, tile_y0)
+    ch = dfeat_ref.shape[-1]
+    dfeat_ref[0] = jnp.zeros((8, ch), _F32)
+    dcol_ref[0] = jnp.zeros((ch, C.PAD_CHANNELS), _F32)
 
-    # u[pix, i] = sum_ch g[pix, ch] * col[i, ch]
-    u = jax.lax.dot_general(g, col, (((1,), (1,)), ((), ())),
-                            preferred_element_type=_F32,
-                            precision=_HI)                          # [PIX, CH]
-    uw = u * q["w"]
-    prefix_incl = prefix_in + jnp.dot(uw, u_ref[:, :],
-                                      preferred_element_type=_F32, precision=_HI)
-    a_suffix = total - prefix_incl
-    dalpha = jnp.where(q["contrib"],
-                       u * q["t_before"] - a_suffix / q["one_m"], 0.0)
+    # same tile-level early termination as the forward: once every pixel
+    # latched done, remaining chunks contribute zero gradient
+    @pl.when(jnp.min(done_in) < 0.5)
+    def _():
+        feat = feat_ref[0]
+        col = col_ref[0]
+        tile_x0 = (tile % gx_grid) * cfg.tile_w
+        tile_y0 = (tile // gx_grid) * cfg.tile_h
+        basis = _pixel_basis(cfg)
+        q = _chunk_blend_quantities(feat, u_ref[:, :], basis, t_in, done_in,
+                                    tile_x0, tile_y0)
 
-    # CUDA-compatible: gradient ignores the 0.99 clamp (backward.cu:502-558).
-    m = dalpha * q["raw"]                                           # dL/dpower
-    d_op = jnp.sum(dalpha * q["expp"], axis=0, keepdims=True)       # [1, CH]
+        # u[pix, i] = sum_ch g[pix, ch] * col[i, ch]
+        u = jax.lax.dot_general(g, col, (((1,), (1,)), ((), ())),
+                                preferred_element_type=_F32,
+                                precision=_HI)                      # [PIX, CH]
+        uw = u * q["w"]
+        prefix_incl = prefix_in + _prefix_matmul_f32(uw, u_ref[:, :])
+        a_suffix = total - prefix_incl
+        dalpha = jnp.where(q["contrib"],
+                           u * q["t_before"] - a_suffix / q["one_m"], 0.0)
 
-    # moments are in tile-local pixel coordinates, matching the local basis
-    moments = jax.lax.dot_general(m, basis, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=_F32,
-                                  precision=_HI)                    # [CH, 8]
-    mxx = moments[:, 0][None, :]
-    myy = moments[:, 1][None, :]
-    mxy = moments[:, 2][None, :]
-    mx = moments[:, 3][None, :]
-    my = moments[:, 4][None, :]
-    m1 = moments[:, 5][None, :]
+        # CUDA-compatible: gradient ignores the 0.99 clamp
+        # (backward.cu:502-558).
+        m = dalpha * q["raw"]                                       # dL/dpower
+        d_op = jnp.sum(dalpha * q["expp"], axis=0, keepdims=True)   # [1, CH]
 
-    gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)
-    gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
-    a = feat[C.F_CA:C.F_CA + 1, :]
-    b = feat[C.F_CB:C.F_CB + 1, :]
-    cc = feat[C.F_CC:C.F_CC + 1, :]
+        # moments are in tile-local pixel coords, matching the local basis
+        moments = jax.lax.dot_general(m, basis, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=_F32,
+                                      precision=_HI)                # [CH, 8]
+        mxx = moments[:, 0][None, :]
+        myy = moments[:, 1][None, :]
+        mxy = moments[:, 2][None, :]
+        mx = moments[:, 3][None, :]
+        my = moments[:, 4][None, :]
+        m1 = moments[:, 5][None, :]
 
-    s_dx = gx * m1 - mx                   # sum_pix m * dx
-    s_dy = gy * m1 - my
-    s_dx2 = gx * gx * m1 - 2.0 * gx * mx + mxx
-    s_dy2 = gy * gy * m1 - 2.0 * gy * my + myy
-    s_dxdy = gx * gy * m1 - gx * my - gy * mx + mxy
+        gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)
+        gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
+        a = feat[C.F_CA:C.F_CA + 1, :]
+        b = feat[C.F_CB:C.F_CB + 1, :]
+        cc = feat[C.F_CC:C.F_CC + 1, :]
 
-    d_gx = -(a * s_dx + b * s_dy)
-    d_gy = -(cc * s_dy + b * s_dx)
-    d_a = -0.5 * s_dx2
-    d_b = -s_dxdy
-    d_c = -0.5 * s_dy2
-    zero = jnp.zeros_like(d_gx)
-    dfeat_ref[0] = jnp.concatenate(
-        [d_gx, d_gy, d_a, d_b, d_c, d_op, zero, zero], axis=0)      # [8, CH]
+        s_dx = gx * m1 - mx               # sum_pix m * dx
+        s_dy = gy * m1 - my
+        s_dx2 = gx * gx * m1 - 2.0 * gx * mx + mxx
+        s_dy2 = gy * gy * m1 - 2.0 * gy * my + myy
+        s_dxdy = gx * gy * m1 - gx * my - gy * mx + mxy
 
-    dcol_ref[0] = jax.lax.dot_general(
-        q["w"], g, (((0,), (0,)), ((), ())), preferred_element_type=_F32,
-        precision=_HI)
+        d_gx = -(a * s_dx + b * s_dy)
+        d_gy = -(cc * s_dy + b * s_dx)
+        d_a = -0.5 * s_dx2
+        d_b = -s_dxdy
+        d_c = -0.5 * s_dy2
+        zero = jnp.zeros_like(d_gx)
+        dfeat_ref[0] = jnp.concatenate(
+            [d_gx, d_gy, d_a, d_b, d_c, d_op, zero, zero], axis=0)  # [8, CH]
 
-    lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
-    prefix_new = prefix_in + jnp.sum(uw, axis=1, keepdims=True)
-    new_carry = jnp.where(lane8 == 0, q["t_new"], carry)
-    new_carry = jnp.where(lane8 == 1, q["done_new"], new_carry)
-    new_carry = jnp.where(lane8 == 2, prefix_new, new_carry)
-    carry_ref[:, :] = new_carry
+        dcol_ref[0] = jax.lax.dot_general(
+            q["w"], g, (((0,), (0,)), ((), ())), preferred_element_type=_F32,
+            precision=_HI)
+
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
+        prefix_new = prefix_in + jnp.sum(uw, axis=1, keepdims=True)
+        new_carry = jnp.where(lane8 == 0, q["t_new"], carry)
+        new_carry = jnp.where(lane8 == 1, q["done_new"], new_carry)
+        new_carry = jnp.where(lane8 == 2, prefix_new, new_carry)
+        carry_ref[:, :] = new_carry
 
 
 def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
@@ -292,7 +328,7 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
     tc = binned.feat.shape[0]
     ch = cfg.chunk
     pix = cfg.tile_pix
-    u_tri = jnp.asarray(_tri_incl(ch))
+    u_tri = jnp.asarray(_tri_incl(ch), dtype=_BF16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

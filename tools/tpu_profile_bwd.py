@@ -8,7 +8,8 @@ import jax.numpy as jnp
 
 from gaussianhaircut_tpu.ops.rasterize import RasterConfig
 from gaussianhaircut_tpu.ops.rasterize import common as C
-from gaussianhaircut_tpu.ops.rasterize.api import _core_pallas, ndc_xy_to_pixel
+from gaussianhaircut_tpu.ops.rasterize.api import ndc_xy_to_pixel
+from gaussianhaircut_tpu.ops.rasterize import pallas_core
 
 P = 20000
 W, H = 256, 256
@@ -59,17 +60,17 @@ def timeit(name, f, *a, n=20):
 
 @jax.jit
 def kernel_only_grad(feat, col):
-    def loss(feat, col):
-        buf = _core_pallas(feat, col, b.tile_of_chunk, b.chunk_in_tile, b.gid,
-                           b.num_rendered, nt, W, H, cfg)
-        return jnp.sum(buf[:, :, :10] ** 2)
-    return jax.grad(loss, argnums=(0, 1))(feat, col)
+    bb = b._replace(feat=feat, colors=col)
+    buf = pallas_core.raster_core_pallas_fwd(bb, W, H, cfg)
+    gbuf = jnp.ones_like(buf)
+    dfeat, dcol = pallas_core.raster_core_pallas_bwd(bb, buf, gbuf, W, H, cfg)
+    return jnp.sum(dfeat) + jnp.sum(dcol)
 
 
 @jax.jit
 def kernel_fwd_only(feat, col):
-    buf = _core_pallas(feat, col, b.tile_of_chunk, b.chunk_in_tile, b.gid,
-                       b.num_rendered, nt, W, H, cfg)
+    bb = b._replace(feat=feat, colors=col)
+    buf = pallas_core.raster_core_pallas_fwd(bb, W, H, cfg)
     return jnp.sum(buf)
 
 
