@@ -70,13 +70,42 @@ def make_head_fields(state: gm.GaussianModelState) -> GaussianFields:
 
 
 def init_hair_state(cfg: TexturedStrandsConfig, key) -> HairTrainState:
-    kp, kc, ks = jax.random.split(key, 3)
+    kp, kc, kd, ks = jax.random.split(key, 4)
     params = init_params(cfg, kp)
     color = ColorDecoder(sh_degree=cfg.sh_degree)
     params["color_decoder"] = color.init(
         kc, jnp.zeros((1, cfg.appearance_descriptor_size - 1)))
+    if cfg.use_diffusion:
+        from gaussianhaircut_tpu.models.diffusion import Denoiser, DiffusionConfig
+        den = Denoiser(DiffusionConfig(
+            input_channels=cfg.geometry_descriptor_size,
+            input_size=cfg.diffusion_input))
+        params["denoiser"] = den.init(kd)
     return HairTrainState(params, optim.adam_init(params),
                           jnp.zeros((), jnp.int32), ks)
+
+
+def diffusion_loss(params: dict, scfg: TexturedStrandsConfig, key,
+                   diffuse_mask=None):
+    """L_diff over the scalp latent texture resampled to the diffusion grid
+    (the OptimizableTexturedStrands-internal prior term surfaced as
+    self.LDiff, gaussian_model_latent_strands.py:501-504).  Trains the
+    denoiser jointly with the texture (self-prior) unless converted upstream
+    weights were loaded."""
+    from gaussianhaircut_tpu.models.diffusion import Denoiser, DiffusionConfig
+    den = Denoiser(DiffusionConfig(
+        input_channels=scfg.geometry_descriptor_size,
+        input_size=scfg.diffusion_input))
+    g = scfg.geometry_descriptor_size
+    tex = params["texture"][:, :, :g]
+    t = scfg.texture_size // scfg.diffusion_input
+    latent = tex.reshape(scfg.diffusion_input, t, scfg.diffusion_input, t, g)
+    latent = latent.mean(axis=(1, 3))[None]            # [1, D, D, 64]
+    k_noise, k_sigma = jax.random.split(key)
+    noise = jax.random.normal(k_noise, latent.shape)
+    sigma = den.sample_density(k_sigma, (1,))
+    mask = None if diffuse_mask is None else diffuse_mask[None, :, :, None]
+    return den.loss(params["denoiser"], latent, noise, sigma, mask)
 
 
 def hair_fields_from_strands(params: dict, pool: ScalpPool,
@@ -167,8 +196,10 @@ def train_step(state: HairTrainState, head: GaussianFields, pool: ScalpPool,
                                              radius_scale)
         fields = concat_fields(head, hair)
         out = render_fields(fields, scfg.sh_degree, cam, bg, raster_cfg)
+        l_diff = (diffusion_loss(params, scfg, sub)
+                  if scfg.use_diffusion else jnp.zeros(()))
         total, parts = stage2_losses(out, gt_image, gt_mask, gt_orient_angle,
-                                     gt_orient_conf, jnp.zeros(()), opt_cfg)
+                                     gt_orient_conf, l_diff, opt_cfg)
         return total, parts
 
     (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

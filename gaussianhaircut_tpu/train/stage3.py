@@ -105,6 +105,41 @@ def curves_fields(params: CurvesParams, static: CurvesStatic,
         use_direction=jnp.ones(n * s, jnp.float32))
 
 
+def sds_loss(params: CurvesParams, static: CurvesStatic, prior: dict,
+             scfg: TexturedStrandsConfig, key, num_guiding: int = 1000):
+    """HAAR-style SDS regularizer (gaussian_model_strands.py:456-515):
+    encode random guiding strands with the frozen strand encoder, resample
+    their latents onto the diffusion grid by cosine-similarity-blended KNN
+    interpolation, and take the denoiser loss.
+
+    prior: {"encoder": StrandEncoder params, "denoiser": Denoiser params}.
+    """
+    from gaussianhaircut_tpu.models.diffusion import (
+        Denoiser, DiffusionConfig, sds_latent_image)
+    from gaussianhaircut_tpu.models.strand_prior import GEOMETRY_DIM, StrandEncoder
+
+    n = params.dirs.shape[0]
+    k_idx, k_noise, k_sigma = jax.random.split(key, 3)
+    idx = jax.random.randint(k_idx, (min(num_guiding, n),), 0, n)
+
+    pts = curves_points(params, static)[idx]
+    inv_l2w = jnp.linalg.inv(static.local2world[idx])
+    p_local = jnp.einsum("nij,nlj->nli", inv_l2w, pts - static.origins[idx])
+    v_local = (p_local[:, 1:] - p_local[:, :-1]) * scfg.scale_decoder
+
+    enc = StrandEncoder()
+    z_gdn = enc.apply(prior["encoder"],
+                      p_local * scfg.scale_decoder)[:, :GEOMETRY_DIM]
+    uvs = 2.0 * static.uvs[idx] - 1.0
+    latent = sds_latent_image(z_gdn, uvs, v_local, scfg.diffusion_input)[None]
+
+    den = Denoiser(DiffusionConfig(input_channels=GEOMETRY_DIM,
+                                   input_size=scfg.diffusion_input))
+    noise = jax.random.normal(k_noise, latent.shape)
+    sigma = den.sample_density(k_sigma, (1,))
+    return den.loss(prior["denoiser"], latent, noise, sigma)
+
+
 def stage3_losses(out, gt_image, gt_mask, gt_orient_angle, gt_orient_conf,
                   l_sds, opt_cfg: OptimizationConfig):
     """train_strands.py:128-147."""
@@ -140,13 +175,15 @@ def param_lrs(opt_cfg: OptimizationConfig, spatial_lr_scale: float, step):
 @functools.partial(
     jax.jit,
     static_argnames=("scfg", "width", "height", "raster_cfg", "opt_cfg",
-                     "white_background", "spatial_lr_scale"))
+                     "white_background", "spatial_lr_scale", "use_sds"))
 def train_step(state: CurvesTrainState, head: GaussianFields,
                cam_batch: CameraBatch, gt_image, gt_mask, gt_orient_angle,
-               gt_orient_conf, cam_idx, cam_residuals, radius_scale, *,
+               gt_orient_conf, cam_idx, cam_residuals, radius_scale,
+               prior=None, sds_key=None, *,
                scfg: TexturedStrandsConfig, width: int, height: int,
                raster_cfg: RasterConfig, opt_cfg: OptimizationConfig,
-               white_background: bool, spatial_lr_scale: float = 1.0):
+               white_background: bool, spatial_lr_scale: float = 1.0,
+               use_sds: bool = False):
     bg = default_background(white_background)
     cam = camera_geom(cam_batch.colmap_transform[cam_idx],
                       cam_batch.fovx[cam_idx], cam_batch.fovy[cam_idx],
@@ -156,8 +193,10 @@ def train_step(state: CurvesTrainState, head: GaussianFields,
         hair = curves_fields(params, state.static, scfg, radius_scale)
         fields = concat_fields(head, hair)
         out = render_fields(fields, scfg.sh_degree, cam, bg, raster_cfg)
+        l_sds = (sds_loss(params, state.static, prior, scfg, sds_key)
+                 if use_sds else jnp.zeros(()))
         return stage3_losses(out, gt_image, gt_mask, gt_orient_angle,
-                             gt_orient_conf, jnp.zeros(()), opt_cfg)
+                             gt_orient_conf, l_sds, opt_cfg)
 
     (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     ok = optim.grads_are_finite(grads)

@@ -32,7 +32,9 @@ jd = jnp.asarray
 args = (jd(ndc), jd(conic), jd(colors), jd(opacity))
 
 
-def bench(cfg, label, grad=True, n=20):
+def bench(cfg, label, grad=True, n=10):
+    # vary an input each call so any remote execution/result caching cannot
+    # short-circuit repeated identical launches
     if grad:
         def loss(ndc, conic, colors, opacity):
             out = rasterize(ndc, conic, colors, opacity, jd(depth), jd(valid),
@@ -45,11 +47,12 @@ def bench(cfg, label, grad=True, n=20):
             out = rasterize(ndc, conic, colors, opacity, jd(depth), jd(valid),
                             jd(bg), W, H, cfg)
             return out["render"].sum()
-    r = f(*args)
+    opac = args[3]
+    r = f(args[0], args[1], args[2], opac)
     jax.block_until_ready(r)
     t0 = time.time()
-    for _ in range(n):
-        r = f(*args)
+    for i in range(n):
+        r = f(args[0], args[1], args[2], opac * (1.0 - 1e-6 * i))
     jax.block_until_ready(r)
     print(f"{label}: {(time.time()-t0)/n*1000:.2f} ms", flush=True)
 
