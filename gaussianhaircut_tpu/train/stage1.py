@@ -240,6 +240,42 @@ def init_train_state(model_state: gm.GaussianModelState, n_cameras: int,
     )
 
 
+def evaluate(state: TrainState, cams, cam_batch: CameraBatch, gt: GtBatch,
+             indices, *, active_sh_degree, width, height, raster_cfg,
+             model_cfg, name="test"):
+    """In-training eval over a camera set: mean L1 / mask-L1 / orient / PSNR
+    (the training_report loop, train_gaussians.py:241-287)."""
+    bg = default_background(model_cfg.white_background)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_one(idx):
+        cam = camera_geom(cam_batch.colmap_transform[idx],
+                          cam_batch.fovx[idx], cam_batch.fovy[idx],
+                          width, height, state.cam_res, idx,
+                          use_barf=model_cfg.use_barf,
+                          trainable_cameras=model_cfg.trainable_cameras,
+                          trainable_intrinsics=model_cfg.trainable_intrinsics)
+        out = render(state.model.params, state.model.aux.alive,
+                     active_sh_degree, cam, bg, raster_cfg)
+        img = jnp.clip(out["render"], 0.0, 1.0)
+        mask = jnp.clip(out["mask"], 0.0, 1.0)
+        angle = jnp.clip(out["orient_angle"], 0.0, 1.0)
+        gt_img = jnp.clip(gt.image[idx], 0.0, 1.0)
+        gt_mask = jnp.clip(gt.mask[idx], 0.0, 1.0)
+        return (L.l1_loss(img, gt_img),
+                L.l1_loss(mask, gt_mask),
+                L.or_loss(angle, gt.orient_angle[idx], mask=gt_mask[:1],
+                          weight=gt.orient_conf[idx]),
+                L.psnr(img, gt_img))
+
+    totals = np.zeros(4)
+    for i in indices:
+        totals += np.asarray(jax.device_get(eval_one(jnp.asarray(i))))
+    totals /= max(len(indices), 1)
+    return {f"{name}_l1": totals[0], f"{name}_ce": totals[1],
+            f"{name}_or": totals[2], f"{name}_psnr": totals[3]}
+
+
 def save_checkpoint(state: TrainState, path: str) -> None:
     """npz checkpoint: model capture + optimizer moments + camera residuals
     (the .pth capture-tuple analog, train_gaussians.py:198-208)."""
@@ -366,6 +402,29 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                            num_alive=float(state.model.num_alive()), **m)
         if progress_callback:
             progress_callback(iteration, state, metrics)
+
+        if iteration in test_iterations:
+            # training_report (train_gaussians.py:241-287): test split + a
+            # fixed sample of train views
+            report = {}
+            if scene.test_cameras and scene.test_cameras[0].image is not None:
+                test_batch = CameraBatch.from_cameras(scene.test_cameras)
+                test_gt = GtBatch.from_cameras(scene.test_cameras)
+                report.update(evaluate(
+                    state, scene.test_cameras, test_batch, test_gt,
+                    range(len(scene.test_cameras)), active_sh_degree=sh_deg,
+                    width=scene.test_cameras[0].width,
+                    height=scene.test_cameras[0].height,
+                    raster_cfg=raster_cfg, model_cfg=model_cfg, name="test"))
+            train_sample = [i % len(cams) for i in range(5, 30, 5)]
+            report.update(evaluate(
+                state, cams, cam_batch, gt, train_sample,
+                active_sh_degree=sh_deg, width=width, height=height,
+                raster_cfg=raster_cfg, model_cfg=model_cfg, name="train"))
+            msg = "  ".join(f"{k} {v:.5f}" for k, v in report.items())
+            print(f"\n[ITER {iteration}] Evaluating: {msg}")
+            if logger:
+                logger.scalars(iteration, **report)
 
         if iteration in save_iterations and model_cfg.model_path:
             out_dir = os.path.join(model_cfg.model_path,
