@@ -172,10 +172,12 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
         (tile_id, inst_depth, gid, inst_idx), num_keys=3)
 
     # --- identifyTileRanges -> chunk-aligned layout ---
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(tile_sorted), tile_sorted, num_segments=num_tiles + 1,
-        indices_are_sorted=True)[:num_tiles].astype(jnp.int32)
-    tile_start = jnp.cumsum(counts) - counts                       # packed starts
+    # per-tile counts from the SORTED tile ids via binary search (a scatter
+    # histogram here costs ~20ms on TPU; two searchsorted passes are ~free)
+    bounds = jnp.searchsorted(tile_sorted,
+                              jnp.arange(num_tiles + 1, dtype=jnp.int32))
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    tile_start = bounds[:-1].astype(jnp.int32)                     # packed starts
     nchunks = jnp.maximum(1, -(-counts // ch))
     chunk_start = jnp.cumsum(nchunks) - nchunks                    # chunk index per tile
     total_chunks = cap // ch + num_tiles                           # static upper bound
