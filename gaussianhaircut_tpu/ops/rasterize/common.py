@@ -159,8 +159,12 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     inst_valid = jnp.arange(cap, dtype=jnp.int32) < total
     within = jnp.arange(cap, dtype=jnp.int32) - offsets[gid].astype(jnp.int32)
     rect_w = jnp.maximum(rmax_x - rmin_x, 1)[gid]
-    tile_x = rmin_x[gid] + within % rect_w
-    tile_y = rmin_y[gid] + within // rect_w
+    # integer div/mod by a VECTOR divisor is emulated (slow) on TPU; the
+    # +0.5 float trick is exact for within < 2^23, rect_w <= grid width
+    q = jnp.floor((within.astype(jnp.float32) + 0.5)
+                  / rect_w.astype(jnp.float32)).astype(jnp.int32)
+    tile_x = rmin_x[gid] + (within - q * rect_w)
+    tile_y = rmin_y[gid] + q
     tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x, num_tiles).astype(jnp.int32)
 
     # --- the radix sort: (tile, depth, id) lexicographic, like the stable
