@@ -30,10 +30,10 @@ def main():
     from gaussianhaircut_tpu.scene.cameras import CameraBatch, CameraStatic
     from gaussianhaircut_tpu.train.stage1 import GtBatch, init_train_state
 
-    p = int(os.environ.get("BENCH_P", 200_000))
+    p = int(os.environ.get("BENCH_P", 100_000))
     width = int(os.environ.get("BENCH_W", 960))
     height = int(os.environ.get("BENCH_H", 544))
-    iters = int(os.environ.get("BENCH_ITERS", 30))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
 
     rng = np.random.default_rng(0)
     pts = rng.normal(scale=0.3, size=(p, 3)).astype(np.float32)
@@ -68,7 +68,7 @@ def main():
     opt_cfg = OptimizationConfig(lambda_dorient=0.1)
     raster_cfg = RasterConfig(
         backend="auto",
-        capacity_mult=int(os.environ.get("BENCH_CAP_MULT", 6)))
+        capacity_mult=int(os.environ.get("BENCH_CAP_MULT", 4)))
     tstate = init_train_state(state, n_views, use_barf=True)
 
     def step(tstate, idx):
@@ -87,6 +87,18 @@ def main():
     jax.block_until_ready(tstate.model.params.xyz)
     dt = (time.time() - t0) / iters
     its = 1.0 / dt
+
+    # sanity: a frozen/NaN state would invalidate the timing (repeated
+    # identical executions can be served from a relay cache)
+    ok = bool(metrics["grads_ok"])
+    loss = float(metrics["total"])
+    print(f"# final loss={loss:.5g} grads_ok={ok} "
+          f"num_rendered={int(metrics['num_rendered'])}", file=sys.stderr)
+    if not ok or not np.isfinite(loss):
+        print(json.dumps({"metric": "stage1 train iters/sec (INVALID: "
+                          "non-finite gradients)", "value": 0.0,
+                          "unit": "iters/sec", "vs_baseline": 0.0}))
+        return
 
     print(json.dumps({
         "metric": f"stage1 train iters/sec ({p} gaussians, {width}x{height})",
