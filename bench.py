@@ -66,8 +66,10 @@ def main():
     gt = GtBatch.from_cameras(cams)
 
     opt_cfg = OptimizationConfig(lambda_dorient=0.1)
+    tile = int(os.environ.get("BENCH_TILE", 32))
     raster_cfg = RasterConfig(
-        backend="auto",
+        backend="auto", tile_w=tile, tile_h=tile,
+        chunk=int(os.environ.get("BENCH_CHUNK", 128)),
         capacity_mult=int(os.environ.get("BENCH_CAP_MULT", 4)))
     tstate = init_train_state(state, n_views, use_barf=True)
 
