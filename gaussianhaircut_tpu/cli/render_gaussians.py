@@ -38,6 +38,23 @@ def find_max_iteration(model_path: str, sub: str = "point_cloud") -> int:
     return max(iters)
 
 
+def find_head_ply(model_path: str, iteration: int,
+                  explicit: str = "") -> str:
+    """The frozen-head point cloud for stages 2/3: prefer the FLAME-filtered
+    cloud (run.sh:151-153), fall back to the raw stage-1 save."""
+    if explicit:
+        return explicit
+    candidates = [
+        os.path.join(model_path, sub, f"iteration_{iteration}", name)
+        for sub in ("point_cloud_filtered", "point_cloud")
+        for name in ("raw_point_cloud.ply", "point_cloud.ply")]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    raise FileNotFoundError(f"no head point cloud under {model_path} "
+                            f"(tried {candidates})")
+
+
 def load_camera_residuals(model_path: str, iteration: int, cams):
     pkl_path = os.path.join(model_path, "cameras", f"{iteration}.pkl")
     if not os.path.exists(pkl_path):

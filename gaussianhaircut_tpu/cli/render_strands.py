@@ -69,7 +69,7 @@ def render_hair_set(model_hair_path, split_name, iteration, cams, head,
 
 def main(argv=None):
     from gaussianhaircut_tpu.cli.render_gaussians import (
-        find_max_iteration, load_camera_residuals)
+        find_head_ply, find_max_iteration, load_camera_residuals)
     from gaussianhaircut_tpu.cli.train_latent_strands import load_scene_scale
     from gaussianhaircut_tpu.models import gaussian_model as gm
     from gaussianhaircut_tpu.models.textured_strands import TexturedStrandsConfig
@@ -101,9 +101,8 @@ def main(argv=None):
     if iteration == -1:
         iteration = find_max_iteration(model_cfg.model_path)
 
-    head_ply = args.pointcloud_path_head or os.path.join(
-        model_cfg.model_path, "point_cloud_filtered",
-        f"iteration_{iteration}", "raw_point_cloud.ply")
+    head_ply = find_head_ply(model_cfg.model_path, iteration,
+                             args.pointcloud_path_head)
     head_model = gm.load_ply(head_ply, 0, model_cfg.sh_degree)
     head = make_head_fields(head_model)
 

@@ -51,6 +51,11 @@ def main(argv=None):
                         help="stop after this stage")
     parser.add_argument("--max_frames", type=int, default=128)
     parser.add_argument("--skip_preprocessing", action="store_true")
+    parser.add_argument("--prior_checkpoint",
+                        default=os.environ.get("PRIOR_CKPT", ""),
+                        help="converted strand-prior npz; enables L_diff "
+                        "(stage 2) and SDS (stage 3) like the reference's "
+                        "pretrained NeuralHaircut prior")
     args = parser.parse_args(argv)
 
     data = os.path.abspath(args.data_path)
@@ -160,13 +165,16 @@ def main(argv=None):
 
     # --- 12/13. stages 2 + 3 (run.sh:169-195) ---
     from gaussianhaircut_tpu.cli import train_latent_strands, train_strands
+    prior_args = (["--prior_checkpoint", args.prior_checkpoint]
+                  if args.prior_checkpoint else [])
     if not _have(os.path.join(hair_path, "checkpoints")):
         train_latent_strands.main([
             "-s", data, "-m", model_path, "--model_path_hair", hair_path,
             "--flame_mesh_dir", flame_dir,
             "--lambda_dmask", "0.1", "--lambda_dorient", "0.1",
             "--lambda_dsds", "0.01", "--iterations", "20000",
-            "--load_synthetic_rgba", "--load_synthetic_geom"])
+            "--use_diffusion",
+            "--load_synthetic_rgba", "--load_synthetic_geom"] + prior_args)
     done("stage2")
     if not _have(os.path.join(curves_path, "checkpoints")):
         ck2 = os.path.join(hair_path, "checkpoints", "20000.npz")
@@ -175,7 +183,8 @@ def main(argv=None):
             "--model_path_curves", curves_path, "--flame_mesh_dir", flame_dir,
             "--start_checkpoint_hair", ck2,
             "--lambda_dmask", "0.1", "--lambda_dorient", "0.1",
-            "--lambda_dsds", "0.01", "--iterations", "10000"])
+            "--lambda_dsds", "0.01", "--iterations", "10000",
+            "--use_sds"] + prior_args)
     done("stage3")
 
     # --- 14. export + renders (run.sh:199-233) ---

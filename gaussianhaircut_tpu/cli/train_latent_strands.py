@@ -23,7 +23,7 @@ def load_scene_scale(source_path: str) -> float:
 
 def main(argv=None):
     from gaussianhaircut_tpu.cli.render_gaussians import (
-        find_max_iteration, load_camera_residuals)
+        find_head_ply, find_max_iteration, load_camera_residuals)
     from gaussianhaircut_tpu.models import gaussian_model as gm
     from gaussianhaircut_tpu.models.textured_strands import (
         ScalpPool, TexturedStrandsConfig, synthetic_scalp_pool)
@@ -41,22 +41,40 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint_hair", type=str, default=None)
     parser.add_argument("--num_strands", type=int, default=10_000)
     parser.add_argument("--texture_size", type=int, default=256)
+    parser.add_argument("--strand_length", type=int, default=100)
+    parser.add_argument("--diffusion_input", type=int, default=32)
+    parser.add_argument("--use_diffusion", action="store_true",
+                        help="apply the L_diff latent-texture prior at "
+                        "lambda_dsds (train_latent_strands.py:140-152)")
+    parser.add_argument("--prior_checkpoint", type=str, default="",
+                        help="converted upstream prior npz "
+                        "(tools/convert_neuralhaircut_ckpt.py); its denoiser "
+                        "section is used frozen. Implies --use_diffusion.")
     args = parser.parse_args(argv)
 
     model_cfg = cfg_mod.extract(cfg_mod.ModelConfig, args)
     opt_cfg = cfg_mod.extract(cfg_mod.OptimizationConfig, args)
     pipe_cfg = cfg_mod.extract(cfg_mod.PipelineConfig, args)
+    use_diffusion = args.use_diffusion or bool(args.prior_checkpoint)
     scfg = TexturedStrandsConfig(num_strands=args.num_strands,
                                  texture_size=args.texture_size,
-                                 sh_degree=model_cfg.sh_degree)
+                                 strand_length=args.strand_length,
+                                 diffusion_input=args.diffusion_input,
+                                 sh_degree=model_cfg.sh_degree,
+                                 use_diffusion=use_diffusion)
+
+    denoiser_params = None
+    if args.prior_checkpoint:
+        from gaussianhaircut_tpu.models.prior_io import load_prior
+        denoiser_params = load_prior(args.prior_checkpoint).get("denoiser")
+        if denoiser_params is None:
+            print("[warn] prior checkpoint has no denoiser section; "
+                  "training a self-prior denoiser jointly")
 
     scene = load_scene(model_cfg)
     iteration = find_max_iteration(model_cfg.model_path)
-    head_ply = args.pointcloud_path_head or os.path.join(
-        model_cfg.model_path, "point_cloud_filtered",
-        f"iteration_{iteration}", "raw_point_cloud.ply")
-    if not os.path.exists(head_ply):
-        head_ply = head_ply.replace("raw_point_cloud", "point_cloud")
+    head_ply = find_head_ply(model_cfg.model_path, iteration,
+                             args.pointcloud_path_head)
     head_model = gm.load_ply(head_ply, 0, model_cfg.sh_degree)
 
     residuals = load_camera_residuals(model_cfg.model_path, iteration,
@@ -74,7 +92,8 @@ def main(argv=None):
     stage2.train(model_cfg, opt_cfg, scfg, pipe_cfg, scene, head_model, pool,
                  scene_scale, residuals, model_path_hair=args.model_path_hair,
                  checkpoint_iterations=tuple(args.checkpoint_iterations),
-                 start_checkpoint=args.start_checkpoint_hair)
+                 start_checkpoint=args.start_checkpoint_hair,
+                 denoiser_params=denoiser_params)
     print("\nTraining complete.")
 
 

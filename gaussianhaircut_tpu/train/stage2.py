@@ -69,13 +69,16 @@ def make_head_fields(state: gm.GaussianModelState) -> GaussianFields:
     )
 
 
-def init_hair_state(cfg: TexturedStrandsConfig, key) -> HairTrainState:
+def init_hair_state(cfg: TexturedStrandsConfig, key,
+                    own_denoiser: bool = True) -> HairTrainState:
+    """own_denoiser=False skips the jointly-trained denoiser params (used
+    when a frozen pretrained denoiser is supplied to train())."""
     kp, kc, kd, ks = jax.random.split(key, 4)
     params = init_params(cfg, kp)
     color = ColorDecoder(sh_degree=cfg.sh_degree)
     params["color_decoder"] = color.init(
         kc, jnp.zeros((1, cfg.appearance_descriptor_size - 1)))
-    if cfg.use_diffusion:
+    if cfg.use_diffusion and own_denoiser:
         from gaussianhaircut_tpu.models.diffusion import Denoiser, DiffusionConfig
         den = Denoiser(DiffusionConfig(
             input_channels=cfg.geometry_descriptor_size,
@@ -86,16 +89,19 @@ def init_hair_state(cfg: TexturedStrandsConfig, key) -> HairTrainState:
 
 
 def diffusion_loss(params: dict, scfg: TexturedStrandsConfig, key,
-                   diffuse_mask=None):
+                   diffuse_mask=None, denoiser_params=None):
     """L_diff over the scalp latent texture resampled to the diffusion grid
     (the OptimizableTexturedStrands-internal prior term surfaced as
-    self.LDiff, gaussian_model_latent_strands.py:501-504).  Trains the
-    denoiser jointly with the texture (self-prior) unless converted upstream
-    weights were loaded."""
+    self.LDiff, gaussian_model_latent_strands.py:501-504).
+
+    With ``denoiser_params`` (a converted upstream checkpoint) the denoiser
+    is frozen, matching the reference's pretrained ``model_ema``; otherwise
+    it trains jointly with the texture as a self-prior."""
     from gaussianhaircut_tpu.models.diffusion import Denoiser, DiffusionConfig
     den = Denoiser(DiffusionConfig(
         input_channels=scfg.geometry_descriptor_size,
         input_size=scfg.diffusion_input))
+    dp = denoiser_params if denoiser_params is not None else params["denoiser"]
     g = scfg.geometry_descriptor_size
     tex = params["texture"][:, :, :g]
     t = scfg.texture_size // scfg.diffusion_input
@@ -105,7 +111,7 @@ def diffusion_loss(params: dict, scfg: TexturedStrandsConfig, key,
     noise = jax.random.normal(k_noise, latent.shape)
     sigma = den.sample_density(k_sigma, (1,))
     mask = None if diffuse_mask is None else diffuse_mask[None, :, :, None]
-    return den.loss(params["denoiser"], latent, noise, sigma, mask)
+    return den.loss(dp, latent, noise, sigma, mask)
 
 
 def hair_fields_from_strands(params: dict, pool: ScalpPool,
@@ -179,24 +185,28 @@ def stage2_losses(out, gt_image, gt_mask, gt_orient_angle, gt_orient_conf,
                      "white_background", "base_lr", "total_iters"))
 def train_step(state: HairTrainState, head: GaussianFields, pool: ScalpPool,
                cam_batch: CameraBatch, gt_image, gt_mask, gt_orient_angle,
-               gt_orient_conf, cam_idx, cam_residuals, radius_scale, *,
+               gt_orient_conf, cam_idx, cam_residuals, radius_scale,
+               denoiser_params=None, diffuse_mask=None, *,
                scfg: TexturedStrandsConfig, width: int, height: int,
                raster_cfg: RasterConfig, opt_cfg: OptimizationConfig,
                white_background: bool, base_lr: float = 1e-3,
                total_iters: int = 20000):
     bg = default_background(white_background)
-    key, sub = jax.random.split(state.key)
+    # independent streams for strand-root sampling and diffusion noise/sigma
+    # (a shared key would correlate strand selection with the noise draw)
+    key, k_strand, k_diff = jax.random.split(state.key, 3)
 
     cam = camera_geom(cam_batch.colmap_transform[cam_idx],
                       cam_batch.fovx[cam_idx], cam_batch.fovy[cam_idx],
                       width, height, cam_residuals, cam_idx)
 
     def loss_fn(params):
-        hair, aux = hair_fields_from_strands(params, pool, scfg, sub,
+        hair, aux = hair_fields_from_strands(params, pool, scfg, k_strand,
                                              radius_scale)
         fields = concat_fields(head, hair)
         out = render_fields(fields, scfg.sh_degree, cam, bg, raster_cfg)
-        l_diff = (diffusion_loss(params, scfg, sub)
+        l_diff = (diffusion_loss(params, scfg, k_diff, diffuse_mask,
+                                 denoiser_params)
                   if scfg.use_diffusion else jnp.zeros(()))
         total, parts = stage2_losses(out, gt_image, gt_mask, gt_orient_angle,
                                      gt_orient_conf, l_diff, opt_cfg)
@@ -221,8 +231,13 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
           head_model: gm.GaussianModelState, pool: ScalpPool, scene_scale,
           cam_residuals=None, *, model_path_hair: str = "",
           checkpoint_iterations=(20000,), start_checkpoint=None,
+          denoiser_params=None, diffuse_mask=None,
           progress_callback=None) -> HairTrainState:
-    """Host loop (train_latent_strands.py:87-181)."""
+    """Host loop (train_latent_strands.py:87-181).
+
+    denoiser_params: frozen pretrained diffusion denoiser (converted upstream
+    weights); None trains a self-prior denoiser jointly when
+    scfg.use_diffusion."""
     import random
 
     cams = scene.train_cameras
@@ -232,7 +247,8 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
     gt = GtBatch.from_cameras(cams)
     head = make_head_fields(head_model)
 
-    state = init_hair_state(scfg, jax.random.PRNGKey(0))
+    state = init_hair_state(scfg, jax.random.PRNGKey(0),
+                            own_denoiser=denoiser_params is None)
     if start_checkpoint:
         state = load_checkpoint(start_checkpoint, state)
 
@@ -253,6 +269,7 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
             state, head, pool, cam_batch, gt.image[cam_idx], gt.mask[cam_idx],
             gt.orient_angle[cam_idx], gt.orient_conf[cam_idx],
             jnp.asarray(cam_idx), cam_residuals, radius_scale,
+            denoiser_params, diffuse_mask,
             scfg=scfg, width=width, height=height, raster_cfg=raster_cfg,
             opt_cfg=opt_cfg, white_background=model_cfg.white_background,
             total_iters=opt_cfg.iterations)
@@ -268,11 +285,22 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
     return state
 
 
+def _flat_with_paths(tree, prefix: str) -> dict:
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = prefix + "".join(
+            f"/{p.key}" if hasattr(p, "key") else f"/{p.idx}" for p in path)
+        out[key] = leaf
+    return out
+
+
 def save_checkpoint(state: HairTrainState, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    flat, treedef = jax.tree_util.tree_flatten(
-        (state.params, state.opt.mu, state.opt.nu))
-    blob = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    blob = {}
+    for tree, pre in ((state.params, "params"), (state.opt.mu, "mu"),
+                      (state.opt.nu, "nu")):
+        blob.update({k: np.asarray(v)
+                     for k, v in _flat_with_paths(tree, pre).items()})
     blob["opt_count"] = np.asarray(state.opt.count)
     blob["step"] = np.asarray(state.step)
     blob["key"] = np.asarray(state.key)
@@ -280,11 +308,30 @@ def save_checkpoint(state: HairTrainState, path: str) -> None:
 
 
 def load_checkpoint(path: str, template: HairTrainState) -> HairTrainState:
+    """Path-keyed load: sections present in the checkpoint but not the
+    template (e.g. a jointly-trained denoiser when the template runs a frozen
+    one) are ignored; template-only sections keep their init values."""
     d = dict(np.load(path))
-    flat, treedef = jax.tree_util.tree_flatten(
-        (template.params, template.opt.mu, template.opt.nu))
-    leaves = [jnp.asarray(d[f"leaf_{i}"]) for i in range(len(flat))]
-    params, mu, nu = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def fill(tree, prefix):
+        flat = _flat_with_paths(tree, prefix)
+        missing = [k for k in flat if k not in d]
+        if missing:
+            print(f"[warn] checkpoint {path} lacks {len(missing)} leaves "
+                  f"(e.g. {missing[0]}); keeping init values")
+        leaves = [jnp.asarray(d[k]) if k in d else v for k, v in flat.items()]
+        treedef = jax.tree_util.tree_structure(tree)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    if "leaf_0" in d:  # legacy positional layout
+        flat, treedef = jax.tree_util.tree_flatten(
+            (template.params, template.opt.mu, template.opt.nu))
+        leaves = [jnp.asarray(d[f"leaf_{i}"]) for i in range(len(flat))]
+        params, mu, nu = jax.tree_util.tree_unflatten(treedef, leaves)
+    else:
+        params = fill(template.params, "params")
+        mu = fill(template.opt.mu, "mu")
+        nu = fill(template.opt.nu, "nu")
     return HairTrainState(params,
                           optim.AdamState(mu, nu, jnp.asarray(d["opt_count"])),
                           jnp.asarray(d["step"]), jnp.asarray(d["key"]))

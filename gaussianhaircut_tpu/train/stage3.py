@@ -214,8 +214,13 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
           num_strands: int, cam_residuals=None, *, model_path_curves: str = "",
           save_iterations=(10000,), checkpoint_iterations=(10000,),
           start_checkpoint=None, spatial_lr_scale: float = 1.0,
+          prior=None, use_sds: bool = False, sds_seed: int = 0,
           progress_callback=None) -> CurvesTrainState:
-    """Host loop (train_strands.py:87-180)."""
+    """Host loop (train_strands.py:87-180).
+
+    prior: {"encoder", "denoiser"} pytrees for the SDS regularizer
+    (gaussian_model_strands.py:456-515); applied at opt_cfg.lambda_dsds when
+    use_sds is set."""
     import random
 
     from gaussianhaircut_tpu.train.stage1 import GtBatch
@@ -244,18 +249,23 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
     stack = []
     from gaussianhaircut_tpu.utils.logger import MetricsLogger
     logger = MetricsLogger(model_path_curves) if model_path_curves else None
+    if use_sds and prior is None:
+        raise ValueError("use_sds requires a prior ({'encoder', 'denoiser'})")
+    sds_base_key = jax.random.PRNGKey(sds_seed)
     for iteration in range(int(state.step) + 1, opt_cfg.iterations + 1):
         if not stack:
             stack = list(range(len(cams)))
             rng.shuffle(stack)
         cam_idx = stack.pop(rng.randrange(len(stack)))
+        sds_key = jax.random.fold_in(sds_base_key, iteration) if use_sds else None
         state, metrics = train_step(
             state, head, cam_batch, gt.image[cam_idx], gt.mask[cam_idx],
             gt.orient_angle[cam_idx], gt.orient_conf[cam_idx],
             jnp.asarray(cam_idx), cam_residuals, radius_scale,
+            prior, sds_key,
             scfg=scfg, width=width, height=height, raster_cfg=raster_cfg,
             opt_cfg=opt_cfg, white_background=model_cfg.white_background,
-            spatial_lr_scale=spatial_lr_scale)
+            spatial_lr_scale=spatial_lr_scale, use_sds=use_sds)
         if logger and iteration % 10 == 0:
             logger.scalars(iteration, **{k: float(v) for k, v in metrics.items()})
         if progress_callback:

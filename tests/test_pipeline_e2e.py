@@ -88,3 +88,69 @@ def test_cli_train_and_render(tmp_path):
     assert arr.shape[0] > 0 and arr.std() >= 0
     assert os.path.exists(os.path.join(model_dir, "train/ours_12/orients/000000.png"))
     assert os.path.exists(os.path.join(model_dir, "cameras/12_matrices.pkl"))
+
+
+@pytest.mark.slow
+def test_cli_full_strand_pipeline(tmp_path):
+    """Stages 1->2->3->export->render through the CLIs, asserting every
+    on-disk contract (run.sh:169-233 equivalents)."""
+    scene_dir = _build_scene(str(tmp_path / "scene"))
+    model_dir = str(tmp_path / "model")
+    hair_dir = str(tmp_path / "hair")
+    curves_dir = os.path.join(scene_dir, "curves_reconstruction", "test3")
+
+    from gaussianhaircut_tpu.cli import (export_curves, render_strands,
+                                         train_gaussians,
+                                         train_latent_strands, train_strands)
+
+    train_gaussians.main([
+        "-s", scene_dir, "-m", model_dir,
+        "--iterations", "8", "--iterations_cam", "4",
+        "--densify_from_iter", "100", "--densify_until_iter", "0",
+        "--test_iterations", "-1",
+        "--save_iterations", "8", "--checkpoint_iterations", "8",
+        "--raster_backend", "jnp", "--tile", "16",
+        "--gaussian_capacity", "256", "--lambda_dorient", "0.1",
+    ])
+
+    small = ["--num_strands", "8", "--texture_size", "16",
+             "--strand_length", "8", "--diffusion_input", "4",
+             "--raster_backend", "jnp", "--tile", "16",
+             "--instance_capacity_mult", "64",
+             "--lambda_dorient", "0.1", "--lambda_dsds", "0.01"]
+
+    train_latent_strands.main([
+        "-s", scene_dir, "-m", model_dir, "--model_path_hair", hair_dir,
+        "--iterations", "3", "--checkpoint_iterations", "3",
+        "--use_diffusion"] + small)
+    ck2 = os.path.join(hair_dir, "checkpoints", "3.npz")
+    assert os.path.exists(ck2)
+
+    train_strands.main([
+        "-s", scene_dir, "-m", model_dir, "--model_path_hair", hair_dir,
+        "--model_path_curves", curves_dir,
+        "--start_checkpoint_hair", ck2,
+        "--iterations", "2", "--checkpoint_iterations", "2",
+        "--use_sds"] + small)
+    ck3 = os.path.join(curves_dir, "checkpoints", "2.npz")
+    assert os.path.exists(ck3)
+
+    export_curves.main(["--data_dir", scene_dir, "--model_name", "test3",
+                        "--iter", "2"])
+    strands_pkl = os.path.join(curves_dir, "strands", "2_strands.pkl")
+    assert os.path.exists(strands_pkl)
+    import pickle
+    with open(strands_pkl, "rb") as f:
+        pts = pickle.load(f)
+    assert pts.shape == (8, 8, 3) and np.isfinite(pts).all()
+    assert os.path.exists(os.path.join(curves_dir, "strands", "2_strands.ply"))
+
+    render_strands.main([
+        "-s", scene_dir, "-m", model_dir, "--model_hair_path", hair_dir,
+        "--checkpoint_curves", ck3, "--skip_test",
+        "--raster_backend", "jnp", "--tile", "16",
+        "--instance_capacity_mult", "64"])
+    out = os.path.join(hair_dir, "train/ours_8/renders/000000.png")
+    assert os.path.exists(out)
+    arr = np.asarray(Image.open(out))
+    assert arr.shape[0] > 0
