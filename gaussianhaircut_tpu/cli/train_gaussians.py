@@ -26,7 +26,17 @@ def main(argv=None):
                         default=[1_000, 5_000, 15_000, 30_000])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--gui", action="store_true",
+                        help="serve the SIBR live viewer on --ip/--port "
+                        "(train_gaussians.py:79-92)")
     args = parser.parse_args(argv)
+
+    if args.gui:
+        from gaussianhaircut_tpu.render import network_gui
+        network_gui.init(args.ip, args.port)
+        print(f"GUI server started at {args.ip}:{args.port}")
 
     model_cfg = cfg_mod.extract(cfg_mod.ModelConfig, args)
     opt_cfg = cfg_mod.extract(cfg_mod.OptimizationConfig, args)

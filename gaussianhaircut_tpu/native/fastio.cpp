@@ -30,16 +30,33 @@ static bool read_exact(FILE* f, void* dst, size_t n) {
   return fread(dst, 1, n, f) == n;
 }
 
+// Counts come from untrusted file headers: reject any that could not fit in
+// the file (min_record bytes each) before sizing allocations, so a corrupt
+// header can neither wrap the size computation nor trigger huge mallocs.
+static bool count_plausible(FILE* f, uint64_t n, uint64_t min_record) {
+  long pos = ftell(f);
+  if (pos < 0 || fseek(f, 0, SEEK_END) != 0) return false;
+  long end = ftell(f);
+  if (end < 0 || fseek(f, pos, SEEK_SET) != 0) return false;
+  uint64_t remaining = (uint64_t)(end - pos);
+  return min_record == 0 || n <= remaining / min_record;
+}
+
 // Reads points3D.bin; allocates xyz/rgb/err; returns count or -1.
 int64_t colmap_points3d(const char* path, double** xyz_out, uint8_t** rgb_out,
                         double** err_out) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   uint64_t n;
-  if (!read_exact(f, &n, 8)) { fclose(f); return -1; }
+  if (!read_exact(f, &n, 8) || !count_plausible(f, n, 51)) {
+    fclose(f); return -1;
+  }
   double* xyz = (double*)malloc(n * 3 * sizeof(double));
   uint8_t* rgb = (uint8_t*)malloc(n * 3);
   double* err = (double*)malloc(n * sizeof(double));
+  if (n > 0 && (!xyz || !rgb || !err)) {
+    fclose(f); free(xyz); free(rgb); free(err); return -1;
+  }
   for (uint64_t i = 0; i < n; i++) {
     uint64_t pid, track_len;
     if (!read_exact(f, &pid, 8) ||
@@ -63,10 +80,15 @@ int64_t colmap_images(const char* path, int32_t** ids_out, double** qt_out,
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   uint64_t n;
-  if (!read_exact(f, &n, 8)) { fclose(f); return -1; }
+  if (!read_exact(f, &n, 8) || !count_plausible(f, n, 73)) {
+    fclose(f); return -1;
+  }
   int32_t* ids = (int32_t*)malloc(n * 4);
   double* qt = (double*)malloc(n * 7 * sizeof(double));  // qvec(4)+tvec(3)
   int32_t* cam_ids = (int32_t*)malloc(n * 4);
+  if (n > 0 && (!ids || !qt || !cam_ids)) {
+    fclose(f); free(ids); free(qt); free(cam_ids); return -1;
+  }
   std::string names;
   for (uint64_t i = 0; i < n; i++) {
     if (!read_exact(f, ids + i, 4) ||
@@ -128,8 +150,12 @@ int64_t ply_vertex_f32(const char* path, char** props_out,
       break;
     }
   }
-  if (!fmt_ok || count < 0 || nprops == 0) { fclose(f); return -1; }
+  if (!fmt_ok || count < 0 || nprops == 0 ||
+      !count_plausible(f, (uint64_t)count, (uint64_t)nprops * 4)) {
+    fclose(f); return -1;
+  }
   float* data = (float*)malloc((size_t)count * nprops * 4);
+  if (!data && count > 0) { fclose(f); return -1; }
   if (!read_exact(f, data, (size_t)count * nprops * 4)) {
     fclose(f); free(data); return -1;
   }

@@ -284,14 +284,6 @@ def load_blender_scene(cfg: ModelConfig, load_gt: bool = True) -> SceneData:
     return SceneData(train, test, points, colors, radius, ply_path, translate)
 
 
-def _decompose_world_mat(world_mat: np.ndarray):
-    """K/R/t from a 3x4 projection P = K [R|t] via RQ decomposition — the
-    load_K_Rt_from_P analog used by the Synthetic reader
-    (dataset_readers.py:338-353)."""
-    import cv2  # optional; fall back to scipy-based decomposition
-    raise NotImplementedError
-
-
 def load_synthetic_scene(cfg: ModelConfig, load_gt: bool = True,
                          llffhold: int = 2, resolution: int = 1024) -> SceneData:
     """cameras.npz reader (dataset_readers.py:306-389)."""

@@ -337,6 +337,48 @@ def save_camera_pickles(state: TrainState, cams, cam_batch: CameraBatch,
         pickle.dump(matrices, f)
 
 
+def poll_gui(state: TrainState, model_cfg: ModelConfig,
+             raster_cfg: RasterConfig, active_sh_degree: int,
+             iteration: int, total_iters: int) -> None:
+    """Non-blocking live-viewer poll, one call per training iteration
+    (train_gaussians.py:79-92): accept a SIBR connection if pending, answer
+    any received camera with a rendered view, return to training when the
+    viewer releases it (do_training && (iteration < total || !keep_alive))."""
+    from gaussianhaircut_tpu.ops import projection as proj
+    from gaussianhaircut_tpu.render import network_gui
+
+    if network_gui.listener is None:
+        return
+    if network_gui.conn is None:
+        network_gui.try_connect()
+    while network_gui.conn is not None:
+        try:
+            net_image_bytes = None
+            (custom_cam, do_training, _convert_shs, _compute_cov3d,
+             keep_alive, scaling_modifier) = network_gui.receive()
+            if custom_cam is not None:
+                viewmatrix = jnp.asarray(custom_cam["world_view_transform"])
+                cam = proj.CameraGeom(
+                    viewmatrix=viewmatrix,
+                    projmatrix=jnp.asarray(custom_cam["full_proj_transform"]),
+                    tan_fovx=jnp.tan(jnp.asarray(custom_cam["fovx"] * 0.5)),
+                    tan_fovy=jnp.tan(jnp.asarray(custom_cam["fovy"] * 0.5)),
+                    width=custom_cam["width"], height=custom_cam["height"],
+                    campos=jnp.linalg.inv(viewmatrix)[3, :3])
+                out = render(state.model.params, state.model.aux.alive,
+                             active_sh_degree, cam,
+                             default_background(model_cfg.white_background),
+                             raster_cfg, scaling_modifier)
+                img = np.asarray(jnp.clip(out["render"][:3], 0.0, 1.0))
+                net_image_bytes = np.ascontiguousarray(
+                    (img * 255).astype(np.uint8).transpose(1, 2, 0)).tobytes()
+            network_gui.send(net_image_bytes, model_cfg.source_path)
+            if do_training and (iteration < total_iters or not keep_alive):
+                break
+        except Exception:
+            network_gui.conn = None
+
+
 def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
           pipe_cfg: PipelineConfig, scene, *, test_iterations=(1000, 5000, 15000, 30000),
           save_iterations=(1000, 5000, 15000, 30000),
@@ -366,14 +408,18 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     stack = []
     first_iter = int(state.step)
     ema = 0.0
+    instance_cap = raster_cfg.instance_capacity(capacity)
+    overflow_warned = False
 
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
+        sh_deg = min(iteration // 1000, model_cfg.sh_degree)
+        poll_gui(state, model_cfg, raster_cfg, sh_deg, iteration,
+                 opt_cfg.iterations)
         if not stack:
             stack = list(range(len(cams)))
             rng.shuffle(stack)
         cam_idx = stack.pop(rng.randrange(len(stack)))
 
-        sh_deg = min(iteration // 1000, model_cfg.sh_degree)
         state, metrics = train_step(
             state, cam_batch, gt, jnp.asarray(cam_idx),
             active_sh_degree=sh_deg, width=width, height=height,
@@ -398,7 +444,19 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         if logger and iteration % 10 == 0:
             m = {k: float(v) for k, v in metrics.items()}
             ema = 0.4 * m["total"] + 0.6 * ema
-            logger.scalars(iteration, ema=ema,
+            # Binning is static-capacity (the CUDA reference's dynamic arena,
+            # rasterize_points.cu:27-33, never drops instances — we must
+            # surface when ours would): occupancy > 1 means instances were
+            # truncated and training quality silently degrades.
+            occupancy = m["num_rendered"] / instance_cap
+            if occupancy > 1.0 and not overflow_warned:
+                overflow_warned = True
+                print(f"\n[WARN iter {iteration}] instance buffer overflow: "
+                      f"{int(m['num_rendered'])} rendered > capacity "
+                      f"{instance_cap}; excess instances are dropped. Re-run "
+                      "with a larger --instance_capacity_mult "
+                      f"(currently {pipe_cfg.instance_capacity_mult}).")
+            logger.scalars(iteration, ema=ema, instance_occupancy=occupancy,
                            num_alive=float(state.model.num_alive()), **m)
         if progress_callback:
             progress_callback(iteration, state, metrics)

@@ -85,8 +85,12 @@ def timeit(name, f, n=N):
 
 
 def make_stage(stage):
+    # all tensors are ARGUMENTS (not closures): closed-over constants get
+    # constant-folded at compile time, which silently removes the whole
+    # index pipeline from stages A..E (observed in the first run of this
+    # profile: D_sort "faster" than C_tileids)
     @jax.jit
-    def f(opac):
+    def f(ndc, conic, depth, opac):
         mp = ndc_xy_to_pixel(ndc, W, H)
         pre = C.preprocess(mp, conic, depth, valid, W, H, cfg)
         gx_grid, gy_grid = cfg.grid(W, H)
@@ -159,7 +163,9 @@ def make_stage(stage):
 
 for stage in ("A_preprocess", "B_repeat", "C_tileids", "D_sort", "E_slots",
               "F_full"):
-    timeit(stage, lambda i, f=make_stage(stage): f(opacity * (1.0 - 1e-5 * i)))
+    timeit(stage, lambda i, f=make_stage(stage): f(
+        ndc * (1.0 + 1e-7 * i), conic, depth * (1.0 + 1e-7 * i),
+        opacity * (1.0 - 1e-5 * i)))
 
 
 # ---- kernels only (binned precomputed; vary opacity row of feat) ----
@@ -219,3 +225,30 @@ timeit("FULL_fwd_bwd", lambda i: gfull(ndc, conic, colors,
 ffull = jax.jit(loss)
 timeit("FULL_fwd", lambda i: ffull(ndc, conic, colors,
                                    opacity * (1.0 - 1e-5 * i)))
+
+
+# ---- (tile, chunk) sweep over the full fwd+bwd ----
+if os.environ.get("PROF_SWEEP"):
+    for tw, th, ck in ((32, 32, 128), (16, 16, 128), (16, 16, 64),
+                       (32, 16, 128), (16, 16, 256), (32, 32, 64)):
+        scfg = RasterConfig(backend="pallas", tile_w=tw, tile_h=th, chunk=ck,
+                            capacity_mult=CAP_MULT)
+
+        def loss_s(ndc_, conic_, colors_, opac_, scfg=scfg):
+            out = rasterize(ndc_, conic_, colors_, opac_, depth, valid, bg,
+                            W, H, scfg)
+            return jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"])
+
+        try:
+            g = jax.jit(jax.grad(loss_s, argnums=(0, 1, 2, 3)))
+            nr = int(jax.jit(lambda o: rasterize(
+                ndc, conic, colors, o, depth, valid, bg, W, H,
+                scfg)["num_rendered"])(opacity))
+            cap = scfg.instance_capacity(P)
+            gx, gy = scfg.grid(W, H)
+            tc = cap // ck + gx * gy
+            timeit(f"SWEEP t{tw}x{th} c{ck} (nr={nr} cap={cap} TC={tc})",
+                   lambda i: g(ndc, conic, colors, opacity * (1.0 - 1e-5 * i)))
+        except Exception as e:
+            print(f"SWEEP t{tw}x{th} c{ck}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
