@@ -67,10 +67,14 @@ def main():
 
     opt_cfg = OptimizationConfig(lambda_dorient=0.1)
     tile = int(os.environ.get("BENCH_TILE", 32))
+    # default capacity_mult 9 holds every rendered instance at the default
+    # config (num_rendered ~ 8.1 * P); the r1 bench ran mult=4 and silently
+    # truncated ~half the instances, overstating it/s
     raster_cfg = RasterConfig(
         backend="auto", tile_w=tile, tile_h=tile,
         chunk=int(os.environ.get("BENCH_CHUNK", 128)),
-        capacity_mult=int(os.environ.get("BENCH_CAP_MULT", 4)))
+        capacity_mult=int(os.environ.get("BENCH_CAP_MULT", 9)),
+        segment_chunks=int(os.environ.get("BENCH_SEG", 4096)))
     tstate = init_train_state(state, n_views, use_barf=True)
 
     def step(tstate, idx):
@@ -94,8 +98,10 @@ def main():
     # identical executions can be served from a relay cache)
     ok = bool(metrics["grads_ok"])
     loss = float(metrics["total"])
-    print(f"# final loss={loss:.5g} grads_ok={ok} "
-          f"num_rendered={int(metrics['num_rendered'])}", file=sys.stderr)
+    num_rendered = int(metrics["num_rendered"])
+    cap = raster_cfg.instance_capacity(p)
+    print(f"# final loss={loss:.5g} grads_ok={ok} num_rendered={num_rendered} "
+          f"capacity={cap} occupancy={num_rendered / cap:.2f}", file=sys.stderr)
     if not ok or not np.isfinite(loss):
         print(json.dumps({"metric": "stage1 train iters/sec (INVALID: "
                           "non-finite gradients)", "value": 0.0,
@@ -107,6 +113,10 @@ def main():
         "value": round(its, 3),
         "unit": "iters/sec",
         "vs_baseline": round(its / REFERENCE_ITERS_PER_SEC, 3),
+        "mpix_per_sec": round(its * width * height / 1e6, 3),
+        "num_rendered": num_rendered,
+        "instance_capacity": cap,
+        "overflow": num_rendered > cap,
     }))
 
 

@@ -106,18 +106,15 @@ def _rasterize_pallas_bwd(width, height, cfg, res, cot):
     g_img, g_t, _g_radii, _g_vis, _g_num = cot
 
     gbuf = _disassemble_cotangent(g_img, g_t, bg, width, height, cfg)
-    dfeat, dcol = pallas_core.raster_core_pallas_bwd(
+    dpay = pallas_core.raster_core_pallas_bwd(
         binned, tile_buf, gbuf, width, height, cfg, interpret=_interpret())
 
     # ---- deterministic per-Gaussian reduction ----
-    tc, _, ch = dfeat.shape
+    tc, _, ch = dpay.shape
     s = tc * ch
     p = binned.gauss_offset.shape[0]
     cap = cfg.instance_capacity(p)
-    g24 = jnp.concatenate([
-        dfeat.swapaxes(1, 2).reshape(s, 8),
-        dcol.reshape(s, C.PAD_CHANNELS),
-    ], axis=-1)                                                   # [S, 24]
+    g24 = dpay.swapaxes(1, 2).reshape(s, 24)
     orig = binned.orig.reshape(s)
     # slots sorted by expansion index -> gather puts gradients in the
     # gid-contiguous expansion order (invalid slots carry zero gradients)

@@ -52,6 +52,10 @@ class RasterConfig:
     capacity_mult: int = 8
     backend: str = "auto"           # auto | pallas | jnp
     cumsum_method: str = "matmul"   # matmul | scan (kernel-internal prefix op)
+    segment_chunks: int = 4096      # chunks per pallas_call segment: bounds
+                                    # the SMEM scalar-prefetch arrays (a
+                                    # single call crashed the worker at ~10k
+                                    # chunks); <= 0 means one segment
 
     @property
     def tile_pix(self) -> int:
@@ -69,8 +73,12 @@ class RasterConfig:
 
 class Binned(NamedTuple):
     """Chunk-aligned instance buffers consumed by the compositing backends."""
-    feat: jnp.ndarray            # [TC, 8, CH] transposed per-instance features
-    colors: jnp.ndarray          # [TC, CH, PAD_CHANNELS]
+    payload: jnp.ndarray         # [TC, 24, CH]: rows 0..7 = feat (mean2,
+                                 # conic3, opacity, valid, pad), rows 8..23 =
+                                 # transposed 16-wide color payload.  One
+                                 # fused array = one input DMA per kernel
+                                 # step (two blocks measurably slow the
+                                 # skipped-chunk path)
     tile_of_chunk: jnp.ndarray   # [TC] int32
     chunk_in_tile: jnp.ndarray   # [TC] int32 (0 marks first chunk of its tile)
     gid: jnp.ndarray             # [TC, CH] int32 source Gaussian per slot (P if invalid)
@@ -173,12 +181,14 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x, num_tiles).astype(jnp.int32)
 
     # --- the radix sort: (tile, depth, id) lexicographic, like the stable
-    # CUDA sort on (tile << 32 | depth-bits); the expansion index rides along
-    # as payload so the backward can undo the permutation with a gather ---
+    # CUDA sort on (tile << 32 | depth-bits).  Only the expansion index rides
+    # along as payload; since it is unique and monotone in gid, sorting by it
+    # as the third key yields the exact (tile, depth, gid) order while moving
+    # one less operand (gid is recovered by a gather afterwards) ---
     inst_depth = jnp.where(inst_valid, depth[gid], jnp.inf).astype(jnp.float32)
     inst_idx = jnp.arange(cap, dtype=jnp.int32)
-    tile_sorted, _, gid_sorted, orig_sorted = jax.lax.sort(
-        (tile_id, inst_depth, gid, inst_idx), num_keys=3)
+    tile_sorted, _, orig_sorted = jax.lax.sort(
+        (tile_id, inst_depth, inst_idx), num_keys=3)
 
     # --- identifyTileRanges -> chunk-aligned layout ---
     # per-tile counts from the SORTED tile ids via binary search (a scatter
@@ -196,31 +206,36 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     tile_of_chunk = jnp.clip(tile_of_chunk, 0, num_tiles - 1)
     chunk_in_tile = chunk_ids - chunk_start[tile_of_chunk]
 
-    slot = jnp.arange(total_chunks * ch, dtype=jnp.int32)
-    slot_tile = tile_of_chunk[slot // ch]
-    tinfo = jnp.stack([chunk_start * ch, counts, tile_start], axis=-1)[slot_tile]
-    off_in_tile = slot - tinfo[:, 0]
-    slot_ok = off_in_tile < tinfo[:, 1]
-    src = jnp.where(slot_ok, tinfo[:, 2] + off_in_tile, cap - 1)
-    sorted_pack = jnp.stack([gid_sorted, orig_sorted], axis=-1)[src]
-    gid_slot = jnp.where(slot_ok, sorted_pack[:, 0], p).astype(jnp.int32)
-    orig_slot = jnp.where(slot_ok, sorted_pack[:, 1], cap).astype(jnp.int32)
+    # Per-CHUNK bookkeeping gathered from tiny [T]-tables and broadcast to
+    # slots — per-SLOT gathers of the same data cost ~5 ms at bench scale
+    # (S-sized random row gathers are the dominant binning cost on TPU).
+    cinfo = jnp.stack([counts, tile_start], axis=-1)[tile_of_chunk]  # [TC, 2]
+    lane = jnp.arange(ch, dtype=jnp.int32)[None, :]
+    off_in_tile = chunk_in_tile[:, None] * ch + lane                 # [TC, CH]
+    slot_ok = off_in_tile < cinfo[:, 0:1]
+    src = jnp.where(slot_ok, cinfo[:, 1:2] + off_in_tile, cap - 1)
 
-    # --- gather per-instance features (differentiable, one row-gather) ---
+    orig_raw = orig_sorted[src.reshape(-1)]                          # [S]
+    ok_flat = slot_ok.reshape(-1)
+    orig_slot = jnp.where(ok_flat, orig_raw, cap).astype(jnp.int32)
+    gid_raw = gid[jnp.minimum(orig_raw, cap - 1)]                    # [S]
+    gid_slot = jnp.where(ok_flat, gid_raw, p).astype(jnp.int32)
+
+    # --- gather per-instance payload (differentiable, ONE row-gather of the
+    # full 24-wide row: mean(2) conic(3) opacity(1) one(1) zero(1) colors(10)
+    # pad(6) — splitting this into feat/color gathers costs ~2x) ---
     safe_gid = jnp.minimum(gid_slot, p - 1)
-    okf = slot_ok.astype(jnp.float32)
-    packed = jnp.concatenate([
+    okf = ok_flat.astype(jnp.float32)
+    pack24 = jnp.concatenate([
         mean_pix, conic, opacity,
         jnp.ones((p, 1), mean_pix.dtype), jnp.zeros((p, 1), mean_pix.dtype),
-    ], axis=-1)                                                     # [P, 8]
-    feat_cols = packed[safe_gid] * okf[:, None]                     # [S, 8]
-    feat = feat_cols.reshape(total_chunks, ch, 8).swapaxes(1, 2)    # [TC, 8, CH]
+        colors,
+        jnp.zeros((p, PAD_CHANNELS - colors.shape[1]), mean_pix.dtype),
+    ], axis=-1)                                                      # [P, 24]
+    payload = pack24[safe_gid] * okf[:, None]                        # [S, 24]
+    payload = payload.reshape(total_chunks, ch, 24).swapaxes(1, 2)   # [TC, 24, CH]
 
-    col = colors[safe_gid] * okf[:, None]                           # [S, C10]
-    col = jnp.pad(col, ((0, 0), (0, PAD_CHANNELS - col.shape[1])))
-    col = col.reshape(total_chunks, ch, PAD_CHANNELS)               # [TC, CH, 16]
-
-    return Binned(feat=feat, colors=col, tile_of_chunk=tile_of_chunk,
+    return Binned(payload=payload, tile_of_chunk=tile_of_chunk,
                   chunk_in_tile=chunk_in_tile,
                   gid=gid_slot.reshape(total_chunks, ch),
                   orig=orig_slot.reshape(total_chunks, ch),

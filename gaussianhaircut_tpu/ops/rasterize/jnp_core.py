@@ -16,11 +16,14 @@ import jax.numpy as jnp
 from gaussianhaircut_tpu.ops.rasterize import common as C
 
 
-def _chunk_update(acc, feat, col, tile, k_in_tile, width, height, cfg):
+def _chunk_update(acc, pay, tile, k_in_tile, width, height, cfg):
     """One chunk of instances composited into the running tile accumulator.
 
-    acc [PIX, 16]; feat [8, CH]; col [CH, 16].  Returns updated acc.
+    acc [PIX, 16]; pay [24, CH] (rows 0..7 feat, rows 8..23 transposed
+    colors).  Returns updated acc.
     """
+    feat = pay[:8]
+    col = pay[8:24].T
     sg = jax.lax.stop_gradient
     pix = cfg.tile_pix
     gx_grid, _ = cfg.grid(width, height)
@@ -75,14 +78,14 @@ def raster_core_jnp(binned: C.Binned, width: int, height: int,
     pix = cfg.tile_pix
 
     def body(acc, xs):
-        feat, col, tile, k = xs
-        acc = _chunk_update(acc, feat, col, tile, k, width, height, cfg)
+        pay, tile, k = xs
+        acc = _chunk_update(acc, pay, tile, k, width, height, cfg)
         return acc, acc
 
     init = jnp.zeros((pix, C.PAD_CHANNELS), jnp.float32).at[:, C.CH_TRANS].set(1.0)
     _, accs = jax.lax.scan(
         jax.checkpoint(body),
-        init, (binned.feat, binned.colors, binned.tile_of_chunk, binned.chunk_in_tile))
+        init, (binned.payload, binned.tile_of_chunk, binned.chunk_in_tile))
 
     # Pick, per tile, the accumulator after its last chunk.
     tc = binned.tile_of_chunk.shape[0]

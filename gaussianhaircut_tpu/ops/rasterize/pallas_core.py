@@ -35,6 +35,15 @@ from gaussianhaircut_tpu.ops.rasterize import common as C
 _F32 = jnp.float32
 
 
+def _subchunk(cfg: C.RasterConfig) -> int:
+    """In-kernel math granularity: chunks larger than 128 instances are
+    processed as a sequence of 128-wide sub-chunks (VMEM temporaries and the
+    triangular prefix matmul stay 128-wide)."""
+    sub = min(cfg.chunk, 128)
+    assert cfg.chunk % sub == 0, f"chunk {cfg.chunk} not a multiple of {sub}"
+    return sub
+
+
 def _tri_incl(ch: int) -> np.ndarray:
     """Upper-triangular (incl. diagonal) ones: x @ U = inclusive prefix sum
     along the instance axis."""
@@ -101,6 +110,17 @@ def _prefix_matmul_f32(x, u_tri_bf16):
     return out[:n] + out[n:2 * n] + out[2 * n:]
 
 
+def _prefix_matmul_2way(x, u_tri_bf16):
+    """Cheaper 2-way-split prefix (~16 mantissa bits): enough for gradient
+    prefix sums, not for the forward's log-transmittance."""
+    hi = x.astype(_BF16).astype(jnp.float32)
+    lo = (x - hi).astype(_BF16)
+    stacked = jnp.concatenate([hi.astype(_BF16), lo], axis=0)
+    out = jnp.dot(stacked, u_tri_bf16, preferred_element_type=jnp.float32)
+    n = x.shape[0]
+    return out[:n] + out[n:]
+
+
 def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0):
     """Shared fwd/bwd per-chunk math.  Returns a dict of [PIX, CH] arrays and
     per-chunk updates, mirroring forward.cu:351-388 semantics exactly.
@@ -124,7 +144,7 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0)
     logs = jnp.log1p(-alpha)
     s_incl = _prefix_matmul_f32(logs, u_tri)
     t_incl = jnp.exp(s_incl)
-    t_excl = jnp.exp(s_incl - logs)
+    t_excl = t_incl / one_m          # exp(s_incl - logs), one exp cheaper
     test = t_in * t_incl
     fail = cand & (test < C.T_EPS)
     # 0/1 values and counts <= CH are exact in a single bf16 pass
@@ -138,223 +158,339 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0)
     t_new = t_in * jnp.exp(lsum)
     done_new = jnp.maximum(
         done_in, jnp.max(jnp.where(fail, 1.0, 0.0), axis=1, keepdims=True))
-    return dict(power=power, expp=expp, raw=raw, alpha=alpha, one_m=one_m,
+    return dict(expp=expp, raw=raw, one_m=one_m,
                 contrib=contrib, t_before=t_before, w=w,
                 t_new=t_new, done_new=done_new)
 
 
 # ---------------------------------------------------------------- forward ---
 
-def _fwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, out_ref, acc_ref,
+def _fwd_kernel(tof_ref, kit_ref, pay_ref, u_ref, basis_ref,
+                bigbuf_ref, acc_in_ref, dt_in_ref,
+                out_ref, acc_out_ref, dt_out_ref, acc_ref, dt_ref, flag_ref,
                 *, cfg: C.RasterConfig, gx_grid: int):
-    # The running (color, done, T) accumulator lives in VMEM *scratch*, which
-    # is single-buffered and persists across grid steps.  Accumulating through
+    # The running accumulators live in VMEM *scratch*, which is
+    # single-buffered and persists across grid steps.  Accumulating through
     # out_ref instead is unsafe: output blocks are multi-buffered and with a
     # scalar-prefetch-driven index map the revisit detection cannot alias the
     # buffers (observed miscompile on real TPU: alternate chunks landed in
     # alternate buffers).
+    #
+    # Per-chunk fixed cost matters as much as the math: [PIX, 16]/[PIX, 8]
+    # arrays are padded to 128 lanes by Mosaic, so every extra pass over the
+    # accumulator costs like a full [PIX, CH] pass (measured ~6.4 us/chunk of
+    # pure overhead at PIX=1024 before this layout).  Hence: the pixel basis
+    # arrives as a constant input (not recomputed per chunk), (T, done) live
+    # in a slim [PIX, 2] scratch, and the output tile is written ONCE per
+    # tile at its last chunk instead of every chunk.
     c = pl.program_id(0)
     tile = tof_ref[c]
     k = kit_ref[c]
     pix = cfg.tile_pix
-    lane = jax.lax.broadcasted_iota(jnp.int32, (pix, C.PAD_CHANNELS), 1)
-
-    init = jnp.where(lane == C.CH_TRANS, 1.0, 0.0).astype(_F32)
 
     @pl.when(k == 0)
     def _():
-        acc_ref[:, :] = init
+        acc_ref[:, :] = jnp.zeros((pix, C.PAD_CHANNELS), _F32)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (pix, 2), 1)
+        dt_ref[:, :] = jnp.where(lane2 == 0, 1.0, 0.0).astype(_F32)
+        flag_ref[0] = 0.0
 
-    acc = acc_ref[:, :]
-    done_in = acc[:, C.CH_DONE:C.CH_DONE + 1]
-    t_in = acc[:, C.CH_TRANS:C.CH_TRANS + 1]
+    # a tile continuing from the previous SEGMENT restores its running state
+    # (the segment loop bounds the SMEM scalar-prefetch arrays; a single
+    # pallas_call over all chunks crashed the worker at ~10k chunks)
+    @pl.when((c == 0) & (k != 0))
+    def _():
+        acc_ref[:, :] = acc_in_ref[:, :]
+        dt_ref[:, :] = dt_in_ref[:, :]
+        flag_ref[0] = jnp.min(dt_in_ref[:, 1:2])
+
+    t_in = dt_ref[:, 0:1]
+    done_in = dt_ref[:, 1:2]
 
     # early termination at tile granularity (the block-vote analog of
-    # forward.cu:334-337): skip the chunk when every pixel latched done
-    @pl.when(jnp.min(done_in) < 0.5)
-    def _():
-        tile_x0 = (tile % gx_grid) * cfg.tile_w
-        tile_y0 = (tile // gx_grid) * cfg.tile_h
-        basis = _pixel_basis(cfg)
-        q = _chunk_blend_quantities(feat_ref[0], u_ref[:, :], basis, t_in,
-                                    done_in, tile_x0, tile_y0)
-        d_color = jnp.dot(q["w"], col_ref[0], preferred_element_type=_F32,
-                          precision=_HI)
-        new_acc = acc + d_color
-        new_acc = jnp.where(lane == C.CH_DONE, q["done_new"], new_acc)
-        new_acc = jnp.where(lane == C.CH_TRANS, q["t_new"], new_acc)
-        acc_ref[:, :] = new_acc
+    # forward.cu:334-337): skip the chunk when every pixel latched done.
+    # The vote is a scalar SMEM flag maintained by the active branch — a
+    # per-step [PIX]-min reduction costs ~1 us even on skipped chunks.
+    # the chunk is processed as SUB-chunks of <= 128 instances: the grid
+    # step (DMA issue + bookkeeping) costs ~2.4 us even when skipped, so a
+    # larger chunk amortizes it while the math and VMEM temporaries stay at
+    # 128-instance granularity (chunk=256 VMEM-OOM'd the old monolithic form)
+    sub = _subchunk(cfg)
+    for j in range(cfg.chunk // sub):
+        @pl.when(flag_ref[0] < 0.5)
+        def _(j=j):
+            t_in = dt_ref[:, 0:1]
+            done_in = dt_ref[:, 1:2]
+            tile_x0 = (tile % gx_grid) * cfg.tile_w
+            tile_y0 = (tile // gx_grid) * cfg.tile_h
+            q = _chunk_blend_quantities(
+                pay_ref[0, :8, j * sub:(j + 1) * sub], u_ref[:, :],
+                basis_ref[:, :], t_in, done_in, tile_x0, tile_y0)
+            # colT rows 10..15 are zero-padded, so += never touches the
+            # done/trans lanes
+            acc_ref[:, :] += jax.lax.dot_general(
+                q["w"], pay_ref[0, 8:24, j * sub:(j + 1) * sub],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=_F32, precision=_HI)
+            dt_ref[:, :] = jnp.concatenate([q["t_new"], q["done_new"]],
+                                           axis=1)
+            flag_ref[0] = jnp.min(q["done_new"])
 
-    out_ref[0] = acc_ref[:, :]
+    nc = pl.num_programs(0)
+    is_last = (c == nc - 1) | (tof_ref[jnp.minimum(c + 1, nc - 1)] != tile)
+
+    @pl.when(is_last)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (pix, C.PAD_CHANNELS), 1)
+        merged = jnp.where(lane == C.CH_DONE, dt_ref[:, 1:2], acc_ref[:, :])
+        merged = jnp.where(lane == C.CH_TRANS, dt_ref[:, 0:1], merged)
+        out_ref[0] = merged
+
+    # hand the running state to the next segment
+    @pl.when(c == nc - 1)
+    def _():
+        acc_out_ref[:, :] = acc_ref[:, :]
+        dt_out_ref[:, :] = dt_ref[:, :]
+
+
+def _segments(tc: int, seg: int) -> list[tuple[int, int]]:
+    """[(start, length)] covering [0, tc) in chunks of <= seg."""
+    if seg <= 0:
+        seg = tc
+    return [(s, min(seg, tc - s)) for s in range(0, max(tc, 1), seg)]
 
 
 def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
                            cfg: C.RasterConfig, interpret: bool = False):
+    """Segmented forward: the grid is split into segments of
+    cfg.segment_chunks chunks, each a pallas_call whose scalar-prefetch
+    arrays are bounded (SMEM scales with them; one call over all chunks
+    crashed the TPU worker at ~10k chunks).  The output tile buffer threads
+    through the segments via input_output_aliases; the in-progress tile's
+    (color, T, done) state crosses the boundary in small carry arrays."""
     gx_grid, _ = cfg.grid(width, height)
-    tc = binned.feat.shape[0]
+    tc = binned.payload.shape[0]
     ch = cfg.chunk
     pix = cfg.tile_pix
-    u_tri = jnp.asarray(_tri_incl(ch), dtype=_BF16)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(tc,),
-        in_specs=[
-            pl.BlockSpec((1, 8, ch), lambda c, tof, kit: (c, 0, 0)),
-            pl.BlockSpec((1, ch, C.PAD_CHANNELS), lambda c, tof, kit: (c, 0, 0)),
-            pl.BlockSpec((ch, ch), lambda c, tof, kit: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, pix, C.PAD_CHANNELS), lambda c, tof, kit: (tof[c], 0, 0)),
-        scratch_shapes=[pltpu.VMEM((pix, C.PAD_CHANNELS), _F32)],
-    )
+    sub = _subchunk(cfg)
+    u_tri = jnp.asarray(_tri_incl(sub), dtype=_BF16)
+    basis = _pixel_basis(cfg)
     kernel = functools.partial(_fwd_kernel, cfg=cfg, gx_grid=gx_grid)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((binned.num_tiles, pix, C.PAD_CHANNELS), _F32),
-        interpret=interpret,
-    )(binned.tile_of_chunk, binned.chunk_in_tile, binned.feat, binned.colors, u_tri)
+
+    bigbuf = jnp.zeros((binned.num_tiles, pix, C.PAD_CHANNELS), _F32)
+    acc_c = jnp.zeros((pix, C.PAD_CHANNELS), _F32)
+    dt_c = jnp.zeros((pix, 2), _F32)
+
+    for start, length in _segments(tc, cfg.segment_chunks):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(length,),
+            in_specs=[
+                pl.BlockSpec((1, 24, ch), lambda c, tof, kit: (c, 0, 0)),
+                pl.BlockSpec((sub, sub), lambda c, tof, kit: (0, 0)),
+                pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),   # aliased tile buffer
+                pl.BlockSpec((pix, C.PAD_CHANNELS), lambda c, tof, kit: (0, 0)),
+                pl.BlockSpec((pix, 2), lambda c, tof, kit: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, pix, C.PAD_CHANNELS),
+                             lambda c, tof, kit: (tof[c], 0, 0)),
+                pl.BlockSpec((pix, C.PAD_CHANNELS), lambda c, tof, kit: (0, 0)),
+                pl.BlockSpec((pix, 2), lambda c, tof, kit: (0, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),
+                            pltpu.VMEM((pix, 2), _F32),
+                            pltpu.SMEM((1,), _F32)],
+        )
+        bigbuf, acc_c, dt_c = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((binned.num_tiles, pix, C.PAD_CHANNELS), _F32),
+                jax.ShapeDtypeStruct((pix, C.PAD_CHANNELS), _F32),
+                jax.ShapeDtypeStruct((pix, 2), _F32),
+            ],
+            input_output_aliases={5: 0},  # bigbuf (3 tensor args after the
+                                          # 2 prefetch scalars) -> output 0
+            interpret=interpret,
+        )(binned.tile_of_chunk[start:start + length],
+          binned.chunk_in_tile[start:start + length],
+          binned.payload[start:start + length],
+          u_tri, basis, bigbuf, acc_c, dt_c)
+    return bigbuf
 
 
 # --------------------------------------------------------------- backward ---
 
-def _bwd_kernel(tof_ref, kit_ref, feat_ref, col_ref, u_ref, gbuf_ref, obuf_ref,
-                dfeat_ref, dcol_ref, carry_ref,
+def _bwd_kernel(tof_ref, kit_ref, pay_ref, u_ref, basis_ref,
+                gbuf_ref, obuf_ref, carry_in_ref,
+                dpay_ref, carry_out_ref, carry_ref, flag_ref,
                 *, cfg: C.RasterConfig, gx_grid: int):
     c = pl.program_id(0)
     tile = tof_ref[c]
     k = kit_ref[c]
     pix = cfg.tile_pix
-    lane16 = jax.lax.broadcasted_iota(jnp.int32, (pix, C.PAD_CHANNELS), 1)
 
-    # Drop the cotangent of the (non-differentiable) done channel.
-    g = jnp.where(lane16 == C.CH_DONE, 0.0, gbuf_ref[0])
+    # The done-channel cotangent is zeroed on the host side
+    # (_disassemble_cotangent fills channels 10..14 with zeros), so gbuf is
+    # usable as-is.
+    g = gbuf_ref[0]
 
     @pl.when(k == 0)
     def _():
         total = jnp.sum(g * obuf_ref[0], axis=1, keepdims=True)     # [PIX, 1]
-        init = jnp.zeros((pix, 8), _F32)
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
-        init = jnp.where(lane8 == 0, 1.0, init)                     # T = 1
+        init = jnp.where(lane8 == 0, 1.0, 0.0)                      # T = 1
         init = jnp.where(lane8 == 3, total, init)
         carry_ref[:, :] = init
+        flag_ref[0] = 0.0
 
-    carry = carry_ref[:, :]
-    t_in = carry[:, 0:1]
-    done_in = carry[:, 1:2]
-    prefix_in = carry[:, 2:3]
-    total = carry[:, 3:4]
+    # tile continuing from the previous segment
+    @pl.when((c == 0) & (k != 0))
+    def _():
+        carry_ref[:, :] = carry_in_ref[:, :]
+        flag_ref[0] = jnp.min(carry_in_ref[:, 1:2])
 
-    ch = dfeat_ref.shape[-1]
-    dfeat_ref[0] = jnp.zeros((8, ch), _F32)
-    dcol_ref[0] = jnp.zeros((ch, C.PAD_CHANNELS), _F32)
+    ch = dpay_ref.shape[-1]
+    dpay_ref[0] = jnp.zeros((24, ch), _F32)
 
     # same tile-level early termination as the forward: once every pixel
-    # latched done, remaining chunks contribute zero gradient
-    @pl.when(jnp.min(done_in) < 0.5)
+    # latched done, remaining chunks contribute zero gradient.  Sub-chunk
+    # loop mirrors the forward's (grid-step overhead amortization).
+    sub = _subchunk(cfg)
+    for j in range(cfg.chunk // sub):
+        @pl.when(flag_ref[0] < 0.5)
+        def _(j=j):
+            sl = slice(j * sub, (j + 1) * sub)
+            feat = pay_ref[0, :8, sl]
+            colT = pay_ref[0, 8:24, sl]                             # [16, SUB]
+            carry = carry_ref[:, :]
+            t_in = carry[:, 0:1]
+            done_in = carry[:, 1:2]
+            prefix_in = carry[:, 2:3]
+            total = carry[:, 3:4]
+            tile_x0 = (tile % gx_grid) * cfg.tile_w
+            tile_y0 = (tile // gx_grid) * cfg.tile_h
+            q = _chunk_blend_quantities(feat, u_ref[:, :], basis_ref[:, :],
+                                        t_in, done_in, tile_x0, tile_y0)
+
+            # u[pix, i] = sum_ch g[pix, ch] * colT[ch, i]
+            u = jnp.dot(g, colT, preferred_element_type=_F32,
+                        precision=_HI)                              # [PIX, SUB]
+            uw = u * q["w"]
+            # 2-way split: gradient prefix needs ~1e-4 relative, not the
+            # forward's log-space exactness
+            prefix_incl = prefix_in + _prefix_matmul_2way(uw, u_ref[:, :])
+            a_suffix = total - prefix_incl
+            dalpha = jnp.where(q["contrib"],
+                               u * q["t_before"] - a_suffix / q["one_m"], 0.0)
+
+            # CUDA-compatible: gradient ignores the 0.99 clamp
+            # (backward.cu:502-558).
+            m = dalpha * q["raw"]                                   # dL/dpower
+            d_op = jnp.sum(dalpha * q["expp"], axis=0, keepdims=True)
+
+            # moments are in tile-local pixel coords, matching the local basis
+            moments = jax.lax.dot_general(m, basis_ref[:, :],
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=_F32,
+                                          precision=_HI)            # [SUB, 8]
+            mxx = moments[:, 0][None, :]
+            myy = moments[:, 1][None, :]
+            mxy = moments[:, 2][None, :]
+            mx = moments[:, 3][None, :]
+            my = moments[:, 4][None, :]
+            m1 = moments[:, 5][None, :]
+
+            gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)
+            gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
+            a = feat[C.F_CA:C.F_CA + 1, :]
+            b = feat[C.F_CB:C.F_CB + 1, :]
+            cc = feat[C.F_CC:C.F_CC + 1, :]
+
+            s_dx = gx * m1 - mx           # sum_pix m * dx
+            s_dy = gy * m1 - my
+            s_dx2 = gx * gx * m1 - 2.0 * gx * mx + mxx
+            s_dy2 = gy * gy * m1 - 2.0 * gy * my + myy
+            s_dxdy = gx * gy * m1 - gx * my - gy * mx + mxy
+
+            d_gx = -(a * s_dx + b * s_dy)
+            d_gy = -(cc * s_dy + b * s_dx)
+            d_a = -0.5 * s_dx2
+            d_b = -s_dxdy
+            d_c = -0.5 * s_dy2
+            zero = jnp.zeros_like(d_gx)
+            # dL/d(colT) [16, SUB] = g^T @ w
+            d_colT = jax.lax.dot_general(
+                g, q["w"], (((0,), (0,)), ((), ())),
+                preferred_element_type=_F32, precision=_HI)
+            dpay_ref[0, :, sl] = jnp.concatenate(
+                [d_gx, d_gy, d_a, d_b, d_c, d_op, zero, zero, d_colT],
+                axis=0)                                             # [24, SUB]
+
+            lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
+            prefix_new = prefix_in + jnp.sum(uw, axis=1, keepdims=True)
+            new_carry = jnp.where(lane8 == 0, q["t_new"], carry)
+            new_carry = jnp.where(lane8 == 1, q["done_new"], new_carry)
+            new_carry = jnp.where(lane8 == 2, prefix_new, new_carry)
+            carry_ref[:, :] = new_carry
+            flag_ref[0] = jnp.min(q["done_new"])
+
+    @pl.when(c == pl.num_programs(0) - 1)
     def _():
-        feat = feat_ref[0]
-        col = col_ref[0]
-        tile_x0 = (tile % gx_grid) * cfg.tile_w
-        tile_y0 = (tile // gx_grid) * cfg.tile_h
-        basis = _pixel_basis(cfg)
-        q = _chunk_blend_quantities(feat, u_ref[:, :], basis, t_in, done_in,
-                                    tile_x0, tile_y0)
-
-        # u[pix, i] = sum_ch g[pix, ch] * col[i, ch]
-        u = jax.lax.dot_general(g, col, (((1,), (1,)), ((), ())),
-                                preferred_element_type=_F32,
-                                precision=_HI)                      # [PIX, CH]
-        uw = u * q["w"]
-        prefix_incl = prefix_in + _prefix_matmul_f32(uw, u_ref[:, :])
-        a_suffix = total - prefix_incl
-        dalpha = jnp.where(q["contrib"],
-                           u * q["t_before"] - a_suffix / q["one_m"], 0.0)
-
-        # CUDA-compatible: gradient ignores the 0.99 clamp
-        # (backward.cu:502-558).
-        m = dalpha * q["raw"]                                       # dL/dpower
-        d_op = jnp.sum(dalpha * q["expp"], axis=0, keepdims=True)   # [1, CH]
-
-        # moments are in tile-local pixel coords, matching the local basis
-        moments = jax.lax.dot_general(m, basis, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=_F32,
-                                      precision=_HI)                # [CH, 8]
-        mxx = moments[:, 0][None, :]
-        myy = moments[:, 1][None, :]
-        mxy = moments[:, 2][None, :]
-        mx = moments[:, 3][None, :]
-        my = moments[:, 4][None, :]
-        m1 = moments[:, 5][None, :]
-
-        gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)
-        gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
-        a = feat[C.F_CA:C.F_CA + 1, :]
-        b = feat[C.F_CB:C.F_CB + 1, :]
-        cc = feat[C.F_CC:C.F_CC + 1, :]
-
-        s_dx = gx * m1 - mx               # sum_pix m * dx
-        s_dy = gy * m1 - my
-        s_dx2 = gx * gx * m1 - 2.0 * gx * mx + mxx
-        s_dy2 = gy * gy * m1 - 2.0 * gy * my + myy
-        s_dxdy = gx * gy * m1 - gx * my - gy * mx + mxy
-
-        d_gx = -(a * s_dx + b * s_dy)
-        d_gy = -(cc * s_dy + b * s_dx)
-        d_a = -0.5 * s_dx2
-        d_b = -s_dxdy
-        d_c = -0.5 * s_dy2
-        zero = jnp.zeros_like(d_gx)
-        dfeat_ref[0] = jnp.concatenate(
-            [d_gx, d_gy, d_a, d_b, d_c, d_op, zero, zero], axis=0)  # [8, CH]
-
-        dcol_ref[0] = jax.lax.dot_general(
-            q["w"], g, (((0,), (0,)), ((), ())), preferred_element_type=_F32,
-            precision=_HI)
-
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
-        prefix_new = prefix_in + jnp.sum(uw, axis=1, keepdims=True)
-        new_carry = jnp.where(lane8 == 0, q["t_new"], carry)
-        new_carry = jnp.where(lane8 == 1, q["done_new"], new_carry)
-        new_carry = jnp.where(lane8 == 2, prefix_new, new_carry)
-        carry_ref[:, :] = new_carry
+        carry_out_ref[:, :] = carry_ref[:, :]
 
 
 def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
                            height: int, cfg: C.RasterConfig,
                            interpret: bool = False):
+    """Segmented like the forward; the in-progress tile's
+    (T, done, prefix, total) state crosses segment boundaries in a small
+    carry array."""
     gx_grid, _ = cfg.grid(width, height)
-    tc = binned.feat.shape[0]
+    tc = binned.payload.shape[0]
     ch = cfg.chunk
     pix = cfg.tile_pix
-    u_tri = jnp.asarray(_tri_incl(ch), dtype=_BF16)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(tc,),
-        in_specs=[
-            pl.BlockSpec((1, 8, ch), lambda c, tof, kit: (c, 0, 0)),
-            pl.BlockSpec((1, ch, C.PAD_CHANNELS), lambda c, tof, kit: (c, 0, 0)),
-            pl.BlockSpec((ch, ch), lambda c, tof, kit: (0, 0)),
-            pl.BlockSpec((1, pix, C.PAD_CHANNELS), lambda c, tof, kit: (tof[c], 0, 0)),
-            pl.BlockSpec((1, pix, C.PAD_CHANNELS), lambda c, tof, kit: (tof[c], 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, ch), lambda c, tof, kit: (c, 0, 0)),
-            pl.BlockSpec((1, ch, C.PAD_CHANNELS), lambda c, tof, kit: (c, 0, 0)),
-        ],
-        scratch_shapes=[pltpu.VMEM((pix, 8), _F32)],
-    )
+    sub = _subchunk(cfg)
+    u_tri = jnp.asarray(_tri_incl(sub), dtype=_BF16)
+    basis = _pixel_basis(cfg)
     kernel = functools.partial(_bwd_kernel, cfg=cfg, gx_grid=gx_grid)
-    dfeat, dcol = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((tc, 8, ch), _F32),
-            jax.ShapeDtypeStruct((tc, ch, C.PAD_CHANNELS), _F32),
-        ],
-        interpret=interpret,
-    )(binned.tile_of_chunk, binned.chunk_in_tile, binned.feat, binned.colors,
-      u_tri, gbuf, tile_buf)
-    return dfeat, dcol
+
+    carry_c = jnp.zeros((pix, 8), _F32)
+    dpays = []
+    for start, length in _segments(tc, cfg.segment_chunks):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(length,),
+            in_specs=[
+                pl.BlockSpec((1, 24, ch), lambda c, tof, kit: (c, 0, 0)),
+                pl.BlockSpec((sub, sub), lambda c, tof, kit: (0, 0)),
+                pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
+                pl.BlockSpec((1, pix, C.PAD_CHANNELS), lambda c, tof, kit: (tof[c], 0, 0)),
+                pl.BlockSpec((1, pix, C.PAD_CHANNELS), lambda c, tof, kit: (tof[c], 0, 0)),
+                pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 24, ch), lambda c, tof, kit: (c, 0, 0)),
+                pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((pix, 8), _F32),
+                            pltpu.SMEM((1,), _F32)],
+        )
+        dpay_s, carry_c = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((length, 24, ch), _F32),
+                jax.ShapeDtypeStruct((pix, 8), _F32),
+            ],
+            interpret=interpret,
+        )(binned.tile_of_chunk[start:start + length],
+          binned.chunk_in_tile[start:start + length],
+          binned.payload[start:start + length],
+          u_tri, basis, gbuf, tile_buf, carry_c)
+        dpays.append(dpay_s)
+    if len(dpays) == 1:
+        return dpays[0]
+    return jnp.concatenate(dpays, axis=0)

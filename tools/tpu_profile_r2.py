@@ -178,20 +178,20 @@ def prepare(opac):
 
 binned = jax.block_until_ready(prepare(opacity))
 print(f"# num_rendered={int(binned.num_rendered)} cap={cfg.instance_capacity(P)}"
-      f" TC={binned.feat.shape[0]}", flush=True)
+      f" TC={binned.payload.shape[0]}", flush=True)
 
 
 @jax.jit
-def fwd_only(feat):
-    b = binned._replace(feat=feat)
+def fwd_only(pay):
+    b = binned._replace(payload=pay)
     return pallas_core.raster_core_pallas_fwd(b, W, H, cfg).sum()
 
 
-timeit("K_fwd", lambda i: fwd_only(binned.feat * (1.0 - 1e-6 * i)))
+timeit("K_fwd", lambda i: fwd_only(binned.payload * (1.0 - 1e-6 * i)))
 
 
 tile_buf = jax.jit(lambda f: pallas_core.raster_core_pallas_fwd(
-    binned._replace(feat=f), W, H, cfg))(binned.feat)
+    binned._replace(payload=f), W, H, cfg))(binned.payload)
 jax.block_until_ready(tile_buf)
 gimg = jnp.ones((10, H, W), jnp.float32)
 gt_ = jnp.zeros((H, W), jnp.float32)
@@ -200,13 +200,13 @@ jax.block_until_ready(gbuf)
 
 
 @jax.jit
-def bwd_only(feat):
-    b = binned._replace(feat=feat)
-    dfeat, dcol = pallas_core.raster_core_pallas_bwd(b, tile_buf, gbuf, W, H, cfg)
-    return dfeat.sum() + dcol.sum()
+def bwd_only(pay):
+    b = binned._replace(payload=pay)
+    dpay = pallas_core.raster_core_pallas_bwd(b, tile_buf, gbuf, W, H, cfg)
+    return dpay.sum()
 
 
-timeit("K_bwd", lambda i: bwd_only(binned.feat * (1.0 - 1e-6 * i)))
+timeit("K_bwd", lambda i: bwd_only(binned.payload * (1.0 - 1e-6 * i)))
 
 
 # ---- full rasterize fwd+bwd ----
