@@ -98,6 +98,46 @@ def paint_uv_mask(uvs: np.ndarray, faces: np.ndarray, size: int = 256) -> np.nda
     return np.flip(img.T, axis=0).copy()
 
 
+# FLAME scalp left/right symmetry groups, indices into the canonical
+# NeuralHaircut scalp-vertex ordering (data constants from
+# extract_non_visible_head_scalp.py:178-200): each pair of rows is mirrored
+# across the head midline; a group is treated as hair-covered if any member
+# is, so the scalp cut stays symmetric under one-sided occlusion.
+_SCALP_SYM_ROWS = [
+    ([327, 304, 286, 264, 247, 235], [94, 114, 140, 156, 184, 201]),
+    ([236, 251, 271, 294, 309, 329], [197, 179, 155, 138, 112, 92]),
+    ([336, 315, 298, 277, 253, 237], [87, 111, 136, 154, 171, 194]),
+    ([238, 255, 284, 301, 324, 343], [191, 165, 152, 125, 108, 84]),
+    ([354, 330, 305, 285, 258, 239], [79, 99, 118, 144, 159, 189]),
+]
+_SCALP_SYM_PAIRS = (
+    [414, 419, 425, 426, 422, 424, 421,
+     412, 417, 428, 433, 434, 429, 420, 410, 402,
+     403, 409, 415, 432, 437, 435, 423, 411, 398, 393, 387],
+    [17, 15, 12, 10, 13, 8, 5,
+     19, 16, 9, 3, 4, 11, 18, 23, 31,
+     27, 24, 20, 7, 0, 1, 22, 28, 36, 43, 47],
+)
+
+
+def _apply_scalp_symmetry(hair_mask_scalp: np.ndarray) -> np.ndarray:
+    """hair_mask_scalp [N_scalp] bool in canonical scalp-vertex order."""
+    m = hair_mask_scalp.copy()
+    n = len(m)
+    for left, right in _SCALP_SYM_ROWS:
+        idx = [i for i in left + right if i < n]
+        if idx:
+            v = m[idx].any()
+            m[idx] = v
+    li = [i for i in _SCALP_SYM_PAIRS[0] if i < n]
+    ri = [i for i in _SCALP_SYM_PAIRS[1] if i < n]
+    for i, j in zip(li, ri):
+        v = m[i] | m[j]
+        m[i] = v
+        m[j] = v
+    return m
+
+
 def extract_scalp(flame_mesh_dir: str, data_dir: str, cams_matrices: dict,
                   masks_dir: str = "masks_2", prob_thr: float = 0.9,
                   n_views_thr: float = 0.2,
@@ -166,6 +206,9 @@ def extract_scalp(flame_mesh_dir: str, data_dir: str, cams_matrices: dict,
         ids = np.load(os.path.join(scalp_topology_dir, "new_scalp_vertex_idx.npy"))
         canonical = np.zeros(len(head.verts), bool)
         canonical[ids] = True
+        # symmetrize in the canonical scalp-vertex ordering before cutting
+        # (extract_non_visible_head_scalp.py:178-200)
+        scalp_vert_mask[ids] = _apply_scalp_symmetry(scalp_vert_mask[ids])
         scalp_vert_mask &= canonical
         uv_path = os.path.join(scalp_topology_dir, "scalp_uvmap.npy")
         if os.path.exists(uv_path):

@@ -147,3 +147,26 @@ def test_ssim_identity_and_range(rng):
     other = jnp.asarray(rng.uniform(size=(3, 32, 32)).astype(np.float32))
     v = float(ssim.ssim(img, other))
     assert -1.0 <= v < 1.0
+
+
+def test_scalp_symmetry_groups():
+    from gaussianhaircut_tpu.preprocessing.scalp import (
+        _SCALP_SYM_PAIRS, _SCALP_SYM_ROWS, _apply_scalp_symmetry)
+    import numpy as np
+    n = 450
+    m = np.zeros(n, bool)
+    # marking one member of a mirrored row group marks the whole group
+    m[_SCALP_SYM_ROWS[0][0][0]] = True
+    out = _apply_scalp_symmetry(m)
+    assert out[_SCALP_SYM_ROWS[0][0]].all()
+    assert out[_SCALP_SYM_ROWS[0][1]].all()
+    # pairwise symmetry
+    m2 = np.zeros(n, bool)
+    m2[_SCALP_SYM_PAIRS[0][3]] = True
+    out2 = _apply_scalp_symmetry(m2)
+    assert out2[_SCALP_SYM_PAIRS[1][3]]
+    # untouched vertices stay untouched
+    assert out2.sum() == 2
+    # robust to short (fallback) scalp orderings
+    out3 = _apply_scalp_symmetry(np.zeros(10, bool))
+    assert not out3.any()
