@@ -95,30 +95,17 @@ _HI = jax.lax.Precision.HIGHEST
 _BF16 = jnp.bfloat16
 
 
-def _prefix_matmul_f32(x, u_tri_bf16):
-    """Inclusive prefix sum of x [PIX, CH] along CH via one bf16 matmul with
-    a 3-way float split (~f32 accuracy at 1/6 the cost of a
-    Precision.HIGHEST f32 matmul; the 0/1 triangular matrix is exact in
-    bf16 and the MXU accumulates in f32)."""
-    hi = x.astype(_BF16).astype(jnp.float32)
-    r = x - hi
-    mid = r.astype(_BF16).astype(jnp.float32)
-    lo = (r - mid).astype(_BF16)
-    stacked = jnp.concatenate([hi.astype(_BF16), mid.astype(_BF16), lo], axis=0)
-    out = jnp.dot(stacked, u_tri_bf16, preferred_element_type=jnp.float32)
-    n = x.shape[0]
-    return out[:n] + out[n:2 * n] + out[2 * n:]
+def _prefix_matmul_f32(x, u_tri_f32):
+    """Inclusive prefix sum of x [PIX, SUB] along SUB via a triangular-ones
+    matmul at Precision.HIGHEST.
 
-
-def _prefix_matmul_2way(x, u_tri_bf16):
-    """Cheaper 2-way-split prefix (~16 mantissa bits): enough for gradient
-    prefix sums, not for the forward's log-transmittance."""
-    hi = x.astype(_BF16).astype(jnp.float32)
-    lo = (x - hi).astype(_BF16)
-    stacked = jnp.concatenate([hi.astype(_BF16), lo], axis=0)
-    out = jnp.dot(stacked, u_tri_bf16, preferred_element_type=jnp.float32)
-    n = x.shape[0]
-    return out[:n] + out[n:]
+    HIGHEST runs the MXU 6x (3x3 bf16 passes) but those are ~0.5 us at
+    [1024, 128] @ [128, 128] — cheaper than the VPU decomposition passes of
+    the manual bf16 splits this replaces, and exactly f32-accurate (the
+    default precision truncates operands to bf16, which is catastrophic for
+    log-space transmittance sums)."""
+    return jnp.dot(x, u_tri_f32, preferred_element_type=jnp.float32,
+                   precision=_HI)
 
 
 def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0):
@@ -126,9 +113,8 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0)
     per-chunk updates, mirroring forward.cu:351-388 semantics exactly.
 
     Precision strategy: the default TPU matmul precision truncates f32
-    operands to bf16 (catastrophic for exponents / log prefix sums), so the
-    small matmuls run at Precision.HIGHEST and the big triangular prefix
-    matmuls use an exact-enough 3-way bf16 split (_prefix_matmul_f32)."""
+    operands to bf16 (catastrophic for exponents / log prefix sums), so
+    every matmul here runs at Precision.HIGHEST."""
     coef = _coef_matrix(feat, tile_x0, tile_y0)
     power = jnp.dot(basis, coef, preferred_element_type=_F32,
                     precision=_HI)                                      # [PIX, CH]
@@ -146,18 +132,17 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0)
     t_incl = jnp.exp(s_incl)
     t_excl = t_incl / one_m          # exp(s_incl - logs), one exp cheaper
     test = t_in * t_incl
-    fail = cand & (test < C.T_EPS)
-    # 0/1 values and counts <= CH are exact in a single bf16 pass
-    failcum = jnp.dot(fail.astype(_BF16), u_tri,
-                      preferred_element_type=_F32)
-    contrib = cand & (failcum < 0.5) & (done_in < 0.5)
+    # test is monotone non-increasing along the chunk, so "no instance
+    # j <= i failed the T_EPS stop" is simply test_i >= T_EPS — the explicit
+    # fail prefix (a second triangular matmul) is redundant
+    contrib = cand & (test >= C.T_EPS) & (done_in < 0.5)
     t_before = t_in * t_excl
     w = jnp.where(contrib, alpha * t_before, 0.0)
 
     lsum = jnp.sum(jnp.where(contrib, logs, 0.0), axis=1, keepdims=True)
     t_new = t_in * jnp.exp(lsum)
     done_new = jnp.maximum(
-        done_in, jnp.max(jnp.where(fail, 1.0, 0.0), axis=1, keepdims=True))
+        done_in, (test[:, -1:] < C.T_EPS).astype(_F32))
     return dict(expp=expp, raw=raw, one_m=one_m,
                 contrib=contrib, t_before=t_before, w=w,
                 t_new=t_new, done_new=done_new)
@@ -165,9 +150,52 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0)
 
 # ---------------------------------------------------------------- forward ---
 
-def _fwd_kernel(tof_ref, kit_ref, pay_ref, u_ref, basis_ref,
+def _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, idx):
+    """Async copy of chunk `idx`'s payload HBM -> VMEM slot idx % 2."""
+    slot = jax.lax.rem(idx, 2)
+    return pltpu.make_async_copy(pay_hbm_ref.at[idx],
+                                 pay_buf_ref.at[slot],
+                                 sems_ref.at[slot])
+
+
+def _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
+                        issued_ref, c, flag_ref):
+    """Manual payload pipeline, start-of-step half: wait for the DMA the
+    previous step issued for this chunk (tracked by an SMEM bit), cold-start
+    chunk 0, then OPTIMISTICALLY prefetch chunk c+1 if it may compute
+    (same-tile continuation of a currently-not-done tile, or a new tile's
+    first chunk) so the copy overlaps this chunk's compute.
+
+    Why manual: the automatic per-step block fetch costs ~2.9 us of DMA
+    latency even for chunks the early-exit vote skips — the dominant kernel
+    cost on saturated scenes.  Skipped chunks here issue no DMA at all
+    (the CUDA kernel's early loop exit, forward.cu:334-337).  The only
+    wasted prefetch is the one chunk right after a tile latches done."""
+    nc = pl.num_programs(0)
+
+    @pl.when((c > 0) & (issued_ref[0] == 1))
+    def _():
+        _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, c).wait()
+
+    @pl.when((c == 0) & (flag_ref[0] < 0.5))
+    def _():
+        dma = _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, c)
+        dma.start()
+        dma.wait()
+
+    nxt = jnp.minimum(c + 1, nc - 1)
+    prefetch = (c + 1 < nc) & ((kit_ref[nxt] == 0) | (flag_ref[0] < 0.5))
+    issued_ref[0] = prefetch.astype(jnp.int32)
+
+    @pl.when(prefetch)
+    def _():
+        _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, c + 1).start()
+
+
+def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 bigbuf_ref, acc_in_ref, dt_in_ref,
-                out_ref, acc_out_ref, dt_out_ref, acc_ref, dt_ref, flag_ref,
+                out_ref, acc_out_ref, dt_out_ref,
+                acc_ref, dt_ref, flag_ref, pay_buf_ref, sems_ref, issued_ref,
                 *, cfg: C.RasterConfig, gx_grid: int):
     # The running accumulators live in VMEM *scratch*, which is
     # single-buffered and persists across grid steps.  Accumulating through
@@ -204,17 +232,17 @@ def _fwd_kernel(tof_ref, kit_ref, pay_ref, u_ref, basis_ref,
         dt_ref[:, :] = dt_in_ref[:, :]
         flag_ref[0] = jnp.min(dt_in_ref[:, 1:2])
 
-    t_in = dt_ref[:, 0:1]
-    done_in = dt_ref[:, 1:2]
+    _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
+                        issued_ref, c, flag_ref)
+    slot = jax.lax.rem(c, 2)
 
     # early termination at tile granularity (the block-vote analog of
     # forward.cu:334-337): skip the chunk when every pixel latched done.
     # The vote is a scalar SMEM flag maintained by the active branch — a
     # per-step [PIX]-min reduction costs ~1 us even on skipped chunks.
-    # the chunk is processed as SUB-chunks of <= 128 instances: the grid
-    # step (DMA issue + bookkeeping) costs ~2.4 us even when skipped, so a
-    # larger chunk amortizes it while the math and VMEM temporaries stay at
-    # 128-instance granularity (chunk=256 VMEM-OOM'd the old monolithic form)
+    # The chunk is processed as SUB-chunks of <= 128 instances: larger
+    # chunks amortize per-step bookkeeping while the math and VMEM
+    # temporaries stay at 128-instance granularity.
     sub = _subchunk(cfg)
     for j in range(cfg.chunk // sub):
         @pl.when(flag_ref[0] < 0.5)
@@ -224,12 +252,12 @@ def _fwd_kernel(tof_ref, kit_ref, pay_ref, u_ref, basis_ref,
             tile_x0 = (tile % gx_grid) * cfg.tile_w
             tile_y0 = (tile // gx_grid) * cfg.tile_h
             q = _chunk_blend_quantities(
-                pay_ref[0, :8, j * sub:(j + 1) * sub], u_ref[:, :],
+                pay_buf_ref[slot, :8, j * sub:(j + 1) * sub], u_ref[:, :],
                 basis_ref[:, :], t_in, done_in, tile_x0, tile_y0)
             # colT rows 10..15 are zero-padded, so += never touches the
             # done/trans lanes
             acc_ref[:, :] += jax.lax.dot_general(
-                q["w"], pay_ref[0, 8:24, j * sub:(j + 1) * sub],
+                q["w"], pay_buf_ref[slot, 8:24, j * sub:(j + 1) * sub],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=_F32, precision=_HI)
             dt_ref[:, :] = jnp.concatenate([q["t_new"], q["done_new"]],
@@ -273,7 +301,7 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
     ch = cfg.chunk
     pix = cfg.tile_pix
     sub = _subchunk(cfg)
-    u_tri = jnp.asarray(_tri_incl(sub), dtype=_BF16)
+    u_tri = jnp.asarray(_tri_incl(sub), dtype=_F32)
     basis = _pixel_basis(cfg)
     kernel = functools.partial(_fwd_kernel, cfg=cfg, gx_grid=gx_grid)
 
@@ -286,7 +314,7 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
             num_scalar_prefetch=2,
             grid=(length,),
             in_specs=[
-                pl.BlockSpec((1, 24, ch), lambda c, tof, kit: (c, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),   # payload (manual DMA)
                 pl.BlockSpec((sub, sub), lambda c, tof, kit: (0, 0)),
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),   # aliased tile buffer
@@ -301,7 +329,10 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
             ],
             scratch_shapes=[pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),
                             pltpu.VMEM((pix, 2), _F32),
-                            pltpu.SMEM((1,), _F32)],
+                            pltpu.SMEM((1,), _F32),
+                            pltpu.VMEM((2, 24, ch), _F32),
+                            pltpu.SemaphoreType.DMA((2,)),
+                            pltpu.SMEM((1,), jnp.int32)],
         )
         bigbuf, acc_c, dt_c = pl.pallas_call(
             kernel,
@@ -323,9 +354,10 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
 
 # --------------------------------------------------------------- backward ---
 
-def _bwd_kernel(tof_ref, kit_ref, pay_ref, u_ref, basis_ref,
+def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 gbuf_ref, obuf_ref, carry_in_ref,
-                dpay_ref, carry_out_ref, carry_ref, flag_ref,
+                dpay_ref, carry_out_ref,
+                carry_ref, flag_ref, pay_buf_ref, sems_ref, issued_ref,
                 *, cfg: C.RasterConfig, gx_grid: int):
     c = pl.program_id(0)
     tile = tof_ref[c]
@@ -355,6 +387,10 @@ def _bwd_kernel(tof_ref, kit_ref, pay_ref, u_ref, basis_ref,
     ch = dpay_ref.shape[-1]
     dpay_ref[0] = jnp.zeros((24, ch), _F32)
 
+    _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
+                        issued_ref, c, flag_ref)
+    slot = jax.lax.rem(c, 2)
+
     # same tile-level early termination as the forward: once every pixel
     # latched done, remaining chunks contribute zero gradient.  Sub-chunk
     # loop mirrors the forward's (grid-step overhead amortization).
@@ -363,8 +399,8 @@ def _bwd_kernel(tof_ref, kit_ref, pay_ref, u_ref, basis_ref,
         @pl.when(flag_ref[0] < 0.5)
         def _(j=j):
             sl = slice(j * sub, (j + 1) * sub)
-            feat = pay_ref[0, :8, sl]
-            colT = pay_ref[0, 8:24, sl]                             # [16, SUB]
+            feat = pay_buf_ref[slot, :8, sl]
+            colT = pay_buf_ref[slot, 8:24, sl]                      # [16, SUB]
             carry = carry_ref[:, :]
             t_in = carry[:, 0:1]
             done_in = carry[:, 1:2]
@@ -379,9 +415,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_ref, u_ref, basis_ref,
             u = jnp.dot(g, colT, preferred_element_type=_F32,
                         precision=_HI)                              # [PIX, SUB]
             uw = u * q["w"]
-            # 2-way split: gradient prefix needs ~1e-4 relative, not the
-            # forward's log-space exactness
-            prefix_incl = prefix_in + _prefix_matmul_2way(uw, u_ref[:, :])
+            prefix_incl = prefix_in + _prefix_matmul_f32(uw, u_ref[:, :])
             a_suffix = total - prefix_incl
             dalpha = jnp.where(q["contrib"],
                                u * q["t_before"] - a_suffix / q["one_m"], 0.0)
@@ -453,7 +487,7 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
     ch = cfg.chunk
     pix = cfg.tile_pix
     sub = _subchunk(cfg)
-    u_tri = jnp.asarray(_tri_incl(sub), dtype=_BF16)
+    u_tri = jnp.asarray(_tri_incl(sub), dtype=_F32)
     basis = _pixel_basis(cfg)
     kernel = functools.partial(_bwd_kernel, cfg=cfg, gx_grid=gx_grid)
 
@@ -464,7 +498,7 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
             num_scalar_prefetch=2,
             grid=(length,),
             in_specs=[
-                pl.BlockSpec((1, 24, ch), lambda c, tof, kit: (c, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),   # payload (manual DMA)
                 pl.BlockSpec((sub, sub), lambda c, tof, kit: (0, 0)),
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
                 pl.BlockSpec((1, pix, C.PAD_CHANNELS), lambda c, tof, kit: (tof[c], 0, 0)),
@@ -476,7 +510,10 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((pix, 8), _F32),
-                            pltpu.SMEM((1,), _F32)],
+                            pltpu.SMEM((1,), _F32),
+                            pltpu.VMEM((2, 24, ch), _F32),
+                            pltpu.SemaphoreType.DMA((2,)),
+                            pltpu.SMEM((1,), jnp.int32)],
         )
         dpay_s, carry_c = pl.pallas_call(
             kernel,
