@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -121,10 +122,15 @@ def depths(xyz: jnp.ndarray, cam: CameraGeom) -> jnp.ndarray:
 
 def principal_axis(scaling: jnp.ndarray, rotation_matrix: jnp.ndarray) -> jnp.ndarray:
     """Longest principal axis vector [P, 3]: the row of R for the largest
-    scale, times that scale (gaussian_model.py:384-388)."""
+    scale, times that scale (gaussian_model.py:384-388).
+
+    One-hot arithmetic instead of take_along_axis: the gather's autodiff
+    transpose is a scatter-add, which is slow on TPU and sat in the
+    stage-1 step's hot precompute path."""
     j = jnp.argmax(scaling, axis=-1)
-    rows = jnp.take_along_axis(rotation_matrix, j[:, None, None], axis=1)[:, 0, :]
-    s = jnp.take_along_axis(scaling, j[:, None], axis=-1)
+    onehot = jax.nn.one_hot(j, scaling.shape[-1], dtype=scaling.dtype)
+    rows = jnp.einsum("pk,pkj->pj", onehot, rotation_matrix)
+    s = jnp.sum(scaling * onehot, axis=-1, keepdims=True)
     return rows * s
 
 

@@ -235,6 +235,13 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     payload = pack24[safe_gid] * okf[:, None]                        # [S, 24]
     payload = payload.reshape(total_chunks, ch, 24).swapaxes(1, 2)   # [TC, 24, CH]
 
+    # chunks past the last real one (static capacity headroom) are marked -1
+    # AFTER the slot math: the kernels treat them as permanently skipped
+    # instead of attributing them to the last tile (which would run full
+    # compute on empty slots whenever that tile is unsaturated)
+    used_chunks = chunk_start[-1] + nchunks[-1]
+    chunk_in_tile = jnp.where(chunk_ids < used_chunks, chunk_in_tile, -1)
+
     return Binned(payload=payload, tile_of_chunk=tile_of_chunk,
                   chunk_in_tile=chunk_in_tile,
                   gid=gid_slot.reshape(total_chunks, ch),

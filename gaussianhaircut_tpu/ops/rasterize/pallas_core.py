@@ -177,14 +177,16 @@ def _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
     def _():
         _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, c).wait()
 
-    @pl.when((c == 0) & (flag_ref[0] < 0.5))
+    @pl.when((c == 0) & (kit_ref[0] >= 0) & (flag_ref[0] < 0.5))
     def _():
         dma = _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, c)
         dma.start()
         dma.wait()
 
     nxt = jnp.minimum(c + 1, nc - 1)
-    prefetch = (c + 1 < nc) & ((kit_ref[nxt] == 0) | (flag_ref[0] < 0.5))
+    k_nxt = kit_ref[nxt]
+    prefetch = (c + 1 < nc) & (
+        (k_nxt == 0) | ((k_nxt > 0) & (flag_ref[0] < 0.5)))
     issued_ref[0] = prefetch.astype(jnp.int32)
 
     @pl.when(prefetch)
@@ -245,7 +247,7 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     # temporaries stay at 128-instance granularity.
     sub = _subchunk(cfg)
     for j in range(cfg.chunk // sub):
-        @pl.when(flag_ref[0] < 0.5)
+        @pl.when((k >= 0) & (flag_ref[0] < 0.5))
         def _(j=j):
             t_in = dt_ref[:, 0:1]
             done_in = dt_ref[:, 1:2]
@@ -396,7 +398,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     # loop mirrors the forward's (grid-step overhead amortization).
     sub = _subchunk(cfg)
     for j in range(cfg.chunk // sub):
-        @pl.when(flag_ref[0] < 0.5)
+        @pl.when((k >= 0) & (flag_ref[0] < 0.5))
         def _(j=j):
             sl = slice(j * sub, (j + 1) * sub)
             feat = pay_buf_ref[slot, :8, sl]
