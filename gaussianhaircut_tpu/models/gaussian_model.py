@@ -95,7 +95,11 @@ def get_label(p: GaussianParams) -> jnp.ndarray:
 
 
 def get_orient_conf(p: GaussianParams) -> jnp.ndarray:
-    return jnp.exp(p.orient_conf)
+    # exp like the reference (gaussian_model.py:43), but clamped: the
+    # aleatoric -log(conf) term pushes conf up unboundedly wherever the
+    # orientation loss vanishes, and exp(>88) = inf NaN-poisons the render.
+    # exp(30) ~ 1e13 is far beyond any useful confidence.
+    return jnp.exp(jnp.clip(p.orient_conf, -30.0, 30.0))
 
 
 def get_features(p: GaussianParams) -> jnp.ndarray:

@@ -97,8 +97,8 @@ def dp_train_step(mesh: Mesh, *, active_sh_degree: int, width: int,
             gparams_red._replace(viewspace=jnp.zeros_like(gparams_red.viewspace)))
         lrs = param_lrs(opt_cfg, state.model.spatial_lr_scale, state.step)
         updates, new_opt = optim.adam_update(gparams_red, state.opt, lrs)
-        keep = ok.astype(jnp.float32)
-        new_params = jax.tree.map(lambda p, u: p + keep * u,
+        # jnp.where, NOT keep * u (0 * NaN = NaN would destroy the params)
+        new_params = jax.tree.map(lambda p, u: p + jnp.where(ok, u, 0.0),
                                   state.model.params, updates)
         new_opt = jax.lax.cond(ok, lambda: new_opt, lambda: state.opt)
 

@@ -148,18 +148,23 @@ def train_step(state: TrainState, cam_batch: CameraBatch, gt: GtBatch,
         jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
             state.model.params, state.cam_res))
 
-    # densification stats use the viewspace-gradient port
-    new_aux = densify.add_stats(state.model.aux, gparams.viewspace, radii,
-                                visibility)
+    # densification stats use the viewspace-gradient port; sanitize first —
+    # viewspace is excluded from the NaN guard (it is a port, not a param),
+    # so one NaN step must not poison the accumulated stats
+    safe_vs = jnp.where(jnp.isfinite(gparams.viewspace), gparams.viewspace,
+                        0.0)
+    new_aux = densify.add_stats(state.model.aux, safe_vs, radii, visibility)
 
     # --- Gaussian Adam step with NaN guard (train_gaussians.py:174-181) ---
     model_grads_ok = optim.grads_are_finite(
         gparams._replace(viewspace=jnp.zeros_like(gparams.viewspace)))
     lrs = param_lrs(opt_cfg, state.model.spatial_lr_scale, state.step)
     updates, new_opt = optim.adam_update(gparams, state.opt, lrs)
-    keep = model_grads_ok.astype(jnp.float32)
-    new_params = jax.tree.map(lambda p, u: p + keep * u,
-                              state.model.params, updates)
+    # jnp.where, NOT keep * u: 0 * NaN = NaN, so a multiplicative mask lets
+    # one NaN-grad step destroy the parameters the guard exists to protect
+    new_params = jax.tree.map(
+        lambda p, u: p + jnp.where(model_grads_ok, u, 0.0),
+        state.model.params, updates)
     # on NaN the whole step is skipped, moments and count included
     # (torch Adam's skip-if-no-grad semantics)
     new_opt = jax.lax.cond(model_grads_ok, lambda: new_opt, lambda: state.opt)
@@ -179,10 +184,10 @@ def train_step(state: TrainState, cam_batch: CameraBatch, gt: GtBatch,
             c1 = 1 - b1 ** row_count.astype(jnp.float32)
             c2 = 1 - b2 ** row_count.astype(jnp.float32)
             step_row = -lr * (mu_row / c1) / (jnp.sqrt(nu_row / c2) + eps)
-            sel = do_cam.astype(jnp.float32)
-            return (mu.at[cam_idx].set(mu[cam_idx] * (1 - sel) + sel * mu_row),
-                    nu.at[cam_idx].set(nu[cam_idx] * (1 - sel) + sel * nu_row),
-                    res.at[cam_idx].add(sel * step_row))
+            # jnp.where, NOT a multiplicative mask (0 * NaN = NaN)
+            return (mu.at[cam_idx].set(jnp.where(do_cam, mu_row, mu[cam_idx])),
+                    nu.at[cam_idx].set(jnp.where(do_cam, nu_row, nu[cam_idx])),
+                    res.at[cam_idx].add(jnp.where(do_cam, step_row, 0.0)))
 
         mus, nus, ress = [], [], []
         for name in CameraResiduals._fields:

@@ -133,7 +133,9 @@ def hair_fields_from_strands(params: dict, pool: ScalpPool,
         jnp.broadcast_to(f_dc, (n, s, 1, 3)).reshape(n * s, 1, 3),
         jnp.broadcast_to(f_rest, (n, s, k - 1, 3)).reshape(n * s, k - 1, 3),
     ], axis=1)
-    orient_conf = jnp.exp(jnp.broadcast_to(oconf, (n, s, 1)).reshape(n * s, 1))
+    # clamped exp: see models/gaussian_model.get_orient_conf
+    orient_conf = jnp.exp(jnp.clip(
+        jnp.broadcast_to(oconf, (n, s, 1)).reshape(n * s, 1), -30.0, 30.0))
 
     ones = jnp.ones((n * s, 1), jnp.float32)
     fields = GaussianFields(
@@ -220,8 +222,9 @@ def train_step(state: HairTrainState, head: GaussianFields, pool: ScalpPool,
     t = state.step.astype(jnp.float32)
     lr = 1e-4 + 0.5 * (base_lr - 1e-4) * (1 + jnp.cos(jnp.pi * t / total_iters))
     updates, new_opt = optim.adamw_update(grads, state.opt, state.params, lr)
-    keep = ok.astype(jnp.float32)
-    new_params = jax.tree.map(lambda p, u: p + keep * u, state.params, updates)
+    # jnp.where, NOT keep * u (0 * NaN = NaN would destroy the params)
+    new_params = jax.tree.map(lambda p, u: p + jnp.where(ok, u, 0.0),
+                              state.params, updates)
     new_opt = jax.lax.cond(ok, lambda: new_opt, lambda: state.opt)
     return (HairTrainState(new_params, new_opt, state.step + 1, key),
             dict(parts))

@@ -95,7 +95,10 @@ def curves_fields(params: CurvesParams, static: CurvesStatic,
         jnp.broadcast_to(params.features_dc[:, None], (n, s, 1, 3)).reshape(n * s, 1, 3),
         jnp.broadcast_to(params.features_rest[:, None], (n, s, k - 1, 3)).reshape(n * s, k - 1, 3),
     ], axis=1)
-    oconf = jnp.exp(jnp.broadcast_to(params.orient_conf[:, None], (n, s, 1)).reshape(n * s, 1))
+    # clamped exp: see models/gaussian_model.get_orient_conf
+    oconf = jnp.exp(jnp.clip(
+        jnp.broadcast_to(params.orient_conf[:, None],
+                         (n, s, 1)).reshape(n * s, 1), -30.0, 30.0))
     ones = jnp.ones((n * s, 1), jnp.float32)
     return GaussianFields(
         xyz=sg.xyz, features=features, scaling=sg.scaling,
@@ -202,8 +205,9 @@ def train_step(state: CurvesTrainState, head: GaussianFields,
     ok = optim.grads_are_finite(grads)
     lrs = param_lrs(opt_cfg, spatial_lr_scale, state.step)
     updates, new_opt = optim.adam_update(grads, state.opt, lrs)
-    keep = ok.astype(jnp.float32)
-    new_params = jax.tree.map(lambda p, u: p + keep * u, state.params, updates)
+    # jnp.where, NOT keep * u (0 * NaN = NaN would destroy the params)
+    new_params = jax.tree.map(lambda p, u: p + jnp.where(ok, u, 0.0),
+                              state.params, updates)
     new_opt = jax.lax.cond(ok, lambda: new_opt, lambda: state.opt)
     return CurvesTrainState(new_params, state.static, new_opt,
                             state.step + 1), dict(parts)

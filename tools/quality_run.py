@@ -115,10 +115,22 @@ def main():
     # the auto capacity floors at 1<<17; give densify 2x headroom instead
     pipe_cfg.gaussian_capacity = 2 * p
 
+    log_every = int(os.environ.get("QUALITY_LOG_EVERY", 0))
+
+    def cb(it, state, metrics):
+        if log_every and it % log_every == 0:
+            import jax.numpy as jnp
+            print(f"# it={it} total={float(metrics['total']):.4f} "
+                  f"ok={bool(metrics['grads_ok'])} "
+                  f"xyz_fin={bool(jnp.isfinite(state.model.params.xyz).all())} "
+                  f"scl_max={float(state.model.params.scaling.max()):.2f} "
+                  f"alive={int(state.model.num_alive())}", flush=True)
+
     t0 = time.time()
     state = stage1.train(model_cfg, opt_cfg, pipe_cfg, Scene,
                          test_iterations=(), save_iterations=(),
-                         checkpoint_iterations=())
+                         checkpoint_iterations=(),
+                         progress_callback=cb if log_every else None)
     dt = time.time() - t0
     print(f"# trained {args.iters} iters in {dt:.1f}s "
           f"({args.iters / dt:.2f} it/s)", flush=True)
