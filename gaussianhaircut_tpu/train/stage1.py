@@ -446,22 +446,27 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     and iteration == opt_cfg.densify_from_iter):
                 state = opacity_reset_step(state)
 
-        if logger and iteration % 10 == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            ema = 0.4 * m["total"] + 0.6 * ema
-            # Binning is static-capacity (the CUDA reference's dynamic arena,
-            # rasterize_points.cu:27-33, never drops instances — we must
-            # surface when ours would): occupancy > 1 means instances were
-            # truncated and training quality silently degrades.
-            occupancy = m["num_rendered"] / instance_cap
-            if occupancy > 1.0 and not overflow_warned:
+        # Binning is static-capacity (the CUDA reference's dynamic arena,
+        # rasterize_points.cu:27-33, never drops instances — we must surface
+        # when ours would): occupancy > 1 means instances were truncated and
+        # training quality silently degrades.  Checked regardless of logging
+        # (the check itself syncs num_rendered to host, so on an interval).
+        if iteration % 100 == 0 and not overflow_warned:
+            occupancy = float(metrics["num_rendered"]) / instance_cap
+            if occupancy > 1.0:
                 overflow_warned = True
                 print(f"\n[WARN iter {iteration}] instance buffer overflow: "
-                      f"{int(m['num_rendered'])} rendered > capacity "
+                      f"{int(metrics['num_rendered'])} rendered > capacity "
                       f"{instance_cap}; excess instances are dropped. Re-run "
                       "with a larger --instance_capacity_mult "
                       f"(currently {pipe_cfg.instance_capacity_mult}).")
-            logger.scalars(iteration, ema=ema, instance_occupancy=occupancy,
+
+        if logger and iteration % 10 == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            ema = 0.4 * m["total"] + 0.6 * ema
+            logger.scalars(iteration,
+                           ema=ema,
+                           instance_occupancy=m["num_rendered"] / instance_cap,
                            num_alive=float(state.model.num_alive()), **m)
         if progress_callback:
             progress_callback(iteration, state, metrics)
