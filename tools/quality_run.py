@@ -53,6 +53,7 @@ def main():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--views", type=int, default=20)
     ap.add_argument("--test_views", type=int, default=4)
+    ap.add_argument("--capacity_mult", type=int, default=8)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -114,6 +115,7 @@ def main():
     pipe_cfg = PipelineConfig()
     # the auto capacity floors at 1<<17; give densify 2x headroom instead
     pipe_cfg.gaussian_capacity = 2 * p
+    pipe_cfg.instance_capacity_mult = args.capacity_mult
 
     log_every = int(os.environ.get("QUALITY_LOG_EVERY", 0))
 
