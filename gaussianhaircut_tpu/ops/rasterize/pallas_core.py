@@ -15,10 +15,13 @@ for the MXU instead of translated:
   per-instance gradients that the caller segment-sums **deterministically**
   (replacing backward.cu's atomicAdd, which is non-deterministic).
 
-Grid = one step per 128-instance chunk; tiles own consecutive chunks, and the
-output tile block stays resident in VMEM across its chunks (standard Pallas
-accumulation pattern), so there is no manual DMA and the pipeline double-
-buffers automatically.
+Grid = one step per chunk (tiles own consecutive chunks), split into
+segments of cfg.segment_chunks pallas_calls to bound SMEM scalar-prefetch
+growth; the payload is streamed by a MANUAL double-buffered DMA so chunks
+skipped by the early-exit vote cost no memory traffic at all; running tile
+state lives in VMEM scratch and crosses segment boundaries through small
+carry arrays.  Chunks larger than 128 instances are processed as in-kernel
+128-wide sub-chunks.
 """
 from __future__ import annotations
 
@@ -92,7 +95,6 @@ def _coef_matrix(feat, tile_x0, tile_y0):
 
 
 _HI = jax.lax.Precision.HIGHEST
-_BF16 = jnp.bfloat16
 
 
 def _prefix_matmul_f32(x, u_tri_f32):

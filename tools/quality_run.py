@@ -54,6 +54,9 @@ def main():
     ap.add_argument("--views", type=int, default=20)
     ap.add_argument("--test_views", type=int, default=4)
     ap.add_argument("--capacity_mult", type=int, default=8)
+    ap.add_argument("--gaussian_capacity_mult", type=int, default=4,
+                    help="slot headroom over the init count; exhausted slots "
+                    "stall splitting and leave big blurry gaussians")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -113,8 +116,9 @@ def main():
     opt_cfg = OptimizationConfig(iterations=args.iters, lambda_dorient=0.1,
                                  densify_until_iter=args.iters // 2)
     pipe_cfg = PipelineConfig()
-    # the auto capacity floors at 1<<17; give densify 2x headroom instead
-    pipe_cfg.gaussian_capacity = 2 * p
+    # the auto capacity floors at 1<<17; densify needs real slot headroom
+    # (exhaustion stalls splitting and caps quality)
+    pipe_cfg.gaussian_capacity = args.gaussian_capacity_mult * p
     pipe_cfg.instance_capacity_mult = args.capacity_mult
 
     log_every = int(os.environ.get("QUALITY_LOG_EVERY", 0))
