@@ -414,7 +414,6 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     first_iter = int(state.step)
     ema = 0.0
     instance_cap = raster_cfg.instance_capacity(capacity)
-    overflow_warned = False
 
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
         sh_deg = min(iteration // 1000, model_cfg.sh_degree)
@@ -447,19 +446,27 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 state = opacity_reset_step(state)
 
         # Binning is static-capacity (the CUDA reference's dynamic arena,
-        # rasterize_points.cu:27-33, never drops instances — we must surface
-        # when ours would): occupancy > 1 means instances were truncated and
-        # training quality silently degrades.  Checked regardless of logging
-        # (the check itself syncs num_rendered to host, so on an interval).
-        if iteration % 100 == 0 and not overflow_warned:
+        # rasterize_points.cu:27-33, never drops instances — we must not
+        # truncate silently either): occupancy > 1 means instances were
+        # dropped, so grow the capacity and re-specialize the step, the
+        # static-shape analog of the CUDA arena resize.  Checked on an
+        # interval (the check itself syncs num_rendered to host).
+        if iteration % 100 == 0:
             occupancy = float(metrics["num_rendered"]) / instance_cap
             if occupancy > 1.0:
-                overflow_warned = True
-                print(f"\n[WARN iter {iteration}] instance buffer overflow: "
-                      f"{int(metrics['num_rendered'])} rendered > capacity "
-                      f"{instance_cap}; excess instances are dropped. Re-run "
-                      "with a larger --instance_capacity_mult "
-                      f"(currently {pipe_cfg.instance_capacity_mult}).")
+                import dataclasses
+                import math as _math
+                new_mult = max(
+                    raster_cfg.capacity_mult + 1,
+                    _math.ceil(raster_cfg.capacity_mult * occupancy * 1.25))
+                print(f"\n[iter {iteration}] instance buffer overflow "
+                      f"({int(metrics['num_rendered'])} rendered > capacity "
+                      f"{instance_cap}): growing instance_capacity_mult "
+                      f"{raster_cfg.capacity_mult} -> {new_mult} "
+                      "(recompiles the train step)")
+                raster_cfg = dataclasses.replace(raster_cfg,
+                                                 capacity_mult=new_mult)
+                instance_cap = raster_cfg.instance_capacity(capacity)
 
         if logger and iteration % 10 == 0:
             m = {k: float(v) for k, v in metrics.items()}

@@ -122,3 +122,56 @@ def test_stage1_toy_fit(tmp_path):
                          2048, 1)
     n_alive = int(state.model.num_alive())
     assert int(loaded.num_alive()) == n_alive
+
+
+def test_overflow_auto_recovery(tmp_path):
+    """When binning overflows the static instance capacity, the trainer grows
+    capacity_mult and re-specializes (the CUDA dynamic-arena analog,
+    rasterize_points.cu:27-33)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import jax.numpy as jnp
+
+    from gaussianhaircut_tpu.config import (ModelConfig, OptimizationConfig,
+                                            PipelineConfig)
+    from gaussianhaircut_tpu.train import stage1 as s1
+
+    res = 48
+    cams, pts, cols = make_toy_scene(n_views=3, res=res, n_pts=400)
+    gt_outs = render_gt_images(cams, pts, cols, res)
+    for cam, out in zip(cams, gt_outs):
+        cam.image = np.asarray(out["render"])
+        cam.mask_hair = np.asarray(out["mask"][:1])
+        cam.mask_body = np.clip(np.asarray(out["mask"][1:]), 0, 1)
+        cam.orient_angle = np.asarray(out["orient_angle"])
+        cam.orient_conf = np.ones_like(cam.orient_angle)
+
+    class scene:
+        train_cameras = cams
+        test_cameras = []
+        points = pts
+        colors = cols
+        cameras_extent = 1.0
+
+    model_cfg = ModelConfig()
+    model_cfg.model_path = ""
+    model_cfg.trainable_cameras = False
+    model_cfg.trainable_intrinsics = False
+    opt_cfg = OptimizationConfig(iterations=100, lambda_dorient=0.1,
+                                 densify_until_iter=0)
+    pipe_cfg = PipelineConfig()
+    pipe_cfg.gaussian_capacity = 512
+    pipe_cfg.raster_backend = "jnp"
+    pipe_cfg.tile = 16
+    pipe_cfg.instance_capacity_mult = 1   # deliberately too small
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        state = s1.train(model_cfg, opt_cfg, pipe_cfg, scene,
+                         test_iterations=(), save_iterations=(),
+                         checkpoint_iterations=())
+    out = buf.getvalue()
+    assert "instance buffer overflow" in out
+    assert "growing instance_capacity_mult" in out
+    assert bool(jnp.isfinite(state.model.params.xyz).all())

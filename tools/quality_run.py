@@ -113,7 +113,12 @@ def main():
     model_cfg.model_path = ""
     model_cfg.trainable_cameras = False
     model_cfg.trainable_intrinsics = False
+    # train_orient_conf off: on self-consistent synthetic GT the aleatoric
+    # -log(conf) term is an unbounded reward the optimizer farms at the
+    # image's expense (train PSNR drops while `total` goes negative); real
+    # scenes keep the orient loss bounded away from zero.
     opt_cfg = OptimizationConfig(iterations=args.iters, lambda_dorient=0.1,
+                                 train_orient_conf=False,
                                  densify_until_iter=args.iters // 2)
     pipe_cfg = PipelineConfig()
     # the auto capacity floors at 1<<17; densify needs real slot headroom
