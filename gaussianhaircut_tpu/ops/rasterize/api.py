@@ -55,7 +55,7 @@ def _prepare(ndc, conic, colors, opacity, depth, valid, width, height, cfg):
     sg = jax.lax.stop_gradient
     mean_pix = ndc_xy_to_pixel(ndc, width, height)
     pre = C.preprocess(sg(mean_pix), sg(conic), sg(depth), valid, width,
-                       height, cfg)
+                       height, cfg, opacity=sg(opacity))
     binned = C.bin_instances(pre, mean_pix, conic, opacity, colors, depth,
                              width, height, cfg)
     return pre, binned
@@ -96,7 +96,11 @@ def _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid, bg,
                                                   interpret=_interpret())
     image, t_final = C.assemble_image(tile_buf, bg, width, height, cfg)
     radii = jax.lax.stop_gradient(pre.radius).astype(jnp.int32)
-    visibility = pre.valid & (pre.radius > 0)
+    # reference semantics (radii > 0 == survived geometric culling): the
+    # opacity-aware binned rect may drop near-invisible instances from
+    # binning, but they stay "visible" for max_radii2D / densify stats just
+    # as in CUDA (their gradients are exactly zero either way)
+    visibility = pre.radius > 0
     out = (image, t_final, radii, visibility, binned.num_rendered)
     return out, (binned, tile_buf, bg, t_final)
 
@@ -156,7 +160,11 @@ def _rasterize_jnp(ndc, conic, colors, opacity, depth, valid, bg,
     tile_buf = jnp_core.raster_core_jnp(binned, width, height, cfg)
     image, t_final = C.assemble_image(tile_buf, bg, width, height, cfg)
     radii = jax.lax.stop_gradient(pre.radius).astype(jnp.int32)
-    visibility = pre.valid & (pre.radius > 0)
+    # reference semantics (radii > 0 == survived geometric culling): the
+    # opacity-aware binned rect may drop near-invisible instances from
+    # binning, but they stay "visible" for max_radii2D / densify stats just
+    # as in CUDA (their gradients are exactly zero either way)
+    visibility = pre.radius > 0
     return image, t_final, radii, visibility, binned.num_rendered
 
 

@@ -117,11 +117,22 @@ def cov2d_from_conic(conic: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def preprocess(mean_pix: jnp.ndarray, conic: jnp.ndarray, depth: jnp.ndarray,
                valid_in: jnp.ndarray, width: int, height: int,
-               cfg: RasterConfig) -> Preprocessed:
+               cfg: RasterConfig, opacity: jnp.ndarray | None = None
+               ) -> Preprocessed:
     """Per-Gaussian culling / radius / tile-rect (forward.cu:155-282).
 
     All inputs are expected stop-gradiented by the caller; this function is
     pure bookkeeping.
+
+    With ``opacity`` given, the binned tile rect shrinks from the CUDA 3-sigma
+    box to the *exact-skip* radius sigma*sqrt(2 ln(255 op)): every pixel
+    outside it has alpha = op exp(-d^2/2) < 1/255 and is skipped by the
+    compositing kernel in BOTH directions (forward.cu:366-368 `if (alpha <
+    1/255) continue`, same test recomputed in backward.cu), so dropping those
+    instances is output- and gradient-exact while cutting the instance count
+    (e.g. 4.8x in covered area at the post-reset opacity 0.01).  The reported
+    ``radius`` keeps the reference's 3-sigma value and opacity-independent
+    culling semantics (it feeds max_radii2D / visibility stats).
     """
     gx_grid, gy_grid = cfg.grid(width, height)
     cov2d, det_ok = cov2d_from_conic(conic)
@@ -134,16 +145,33 @@ def preprocess(mean_pix: jnp.ndarray, conic: jnp.ndarray, depth: jnp.ndarray,
     valid = valid_in & det_ok & (depth > NEAR_Z)
 
     px, py = mean_pix[:, 0], mean_pix[:, 1]
-    rmin_x = jnp.clip(((px - radius) / cfg.tile_w).astype(jnp.int32), 0, gx_grid)
-    rmin_y = jnp.clip(((py - radius) / cfg.tile_h).astype(jnp.int32), 0, gy_grid)
-    rmax_x = jnp.clip(((px + radius + cfg.tile_w - 1) / cfg.tile_w).astype(jnp.int32), 0, gx_grid)
-    rmax_y = jnp.clip(((py + radius + cfg.tile_h - 1) / cfg.tile_h).astype(jnp.int32), 0, gy_grid)
-    area = (rmax_x - rmin_x) * (rmax_y - rmin_y)
-    valid = valid & (area > 0)
-    tiles_touched = jnp.where(valid, area, 0).astype(jnp.int32)
-    radius = jnp.where(valid, radius, 0.0)
-    return Preprocessed(mean_pix, radius, tiles_touched,
-                        (rmin_x, rmin_y, rmax_x, rmax_y), valid)
+
+    def rect(r):
+        rmin_x = jnp.clip(((px - r) / cfg.tile_w).astype(jnp.int32), 0, gx_grid)
+        rmin_y = jnp.clip(((py - r) / cfg.tile_h).astype(jnp.int32), 0, gy_grid)
+        rmax_x = jnp.clip(((px + r + cfg.tile_w - 1) / cfg.tile_w).astype(jnp.int32), 0, gx_grid)
+        rmax_y = jnp.clip(((py + r + cfg.tile_h - 1) / cfg.tile_h).astype(jnp.int32), 0, gy_grid)
+        return rmin_x, rmin_y, rmax_x, rmax_y
+
+    rect3 = rect(radius)
+    area3 = (rect3[2] - rect3[0]) * (rect3[3] - rect3[1])
+
+    if opacity is not None:
+        # alpha >= 1/255 iff d_conic^2 <= 2 ln(255 op); radius scales by
+        # sqrt(2 ln(255 op)) / 3, clamped to [0, 1] (op <= 1/255 -> empty)
+        fac2 = 2.0 * jnp.log(jnp.maximum(opacity[:, 0], 1e-12) * 255.0) / 9.0
+        bin_radius = radius * jnp.sqrt(jnp.clip(fac2, 0.0, 1.0))
+        bin_rect = rect(bin_radius)
+        bin_area = (bin_rect[2] - bin_rect[0]) * (bin_rect[3] - bin_rect[1])
+    else:
+        bin_rect, bin_area = rect3, area3
+
+    bin_valid = valid & (bin_area > 0)
+    tiles_touched = jnp.where(bin_valid, bin_area, 0).astype(jnp.int32)
+    # reference radii semantics: 0 only for geometric culls (opacity plays no
+    # part in preprocessCUDA's rect test)
+    radius = jnp.where(valid & (area3 > 0), radius, 0.0)
+    return Preprocessed(mean_pix, radius, tiles_touched, bin_rect, bin_valid)
 
 
 def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
