@@ -56,11 +56,6 @@ class RasterConfig:
                                     # the SMEM scalar-prefetch arrays (a
                                     # single call crashed the worker at ~10k
                                     # chunks); <= 0 means one segment
-    matmul_precision: str = "highest"  # kernel matmul precision: "highest"
-                                    # (exact f32) or "high" (bf16x3, ~1e-6
-                                    # rel error — well under the 2.7e-3
-                                    # algorithmic parity floor, fewer MXU
-                                    # passes)
 
     @property
     def tile_pix(self) -> int:

@@ -95,35 +95,31 @@ def _coef_matrix(feat, tile_x0, tile_y0):
 
 
 _HI = jax.lax.Precision.HIGHEST
-_PREC = {"highest": jax.lax.Precision.HIGHEST,
-         "high": jax.lax.Precision.HIGH}
 
 
-def _prefix_matmul_f32(x, u_tri_f32, prec=_HI):
+def _prefix_matmul_f32(x, u_tri_f32):
     """Inclusive prefix sum of x [PIX, SUB] along SUB via a triangular-ones
-    matmul at >= bf16x3 precision.
+    matmul at Precision.HIGHEST.
 
     HIGHEST runs the MXU 6x (3x3 bf16 passes) but those are ~0.5 us at
     [1024, 128] @ [128, 128] — cheaper than the VPU decomposition passes of
-    the manual bf16 splits this replaces, and exactly f32-accurate; HIGH
-    (bf16x3) halves the passes at ~1e-6 relative error.  The default
-    precision truncates operands to bf16, which is catastrophic for
-    log-space transmittance sums."""
+    the manual bf16 splits this replaces, and exactly f32-accurate (the
+    default precision truncates operands to bf16, which is catastrophic for
+    log-space transmittance sums)."""
     return jnp.dot(x, u_tri_f32, preferred_element_type=jnp.float32,
-                   precision=prec)
+                   precision=_HI)
 
 
-def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0,
-                            prec=_HI):
+def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0):
     """Shared fwd/bwd per-chunk math.  Returns a dict of [PIX, CH] arrays and
     per-chunk updates, mirroring forward.cu:351-388 semantics exactly.
 
     Precision strategy: the default TPU matmul precision truncates f32
     operands to bf16 (catastrophic for exponents / log prefix sums), so
-    every matmul here runs at cfg.matmul_precision (HIGHEST or bf16x3 HIGH)."""
+    every matmul here runs at Precision.HIGHEST."""
     coef = _coef_matrix(feat, tile_x0, tile_y0)
     power = jnp.dot(basis, coef, preferred_element_type=_F32,
-                    precision=prec)                                     # [PIX, CH]
+                    precision=_HI)                                      # [PIX, CH]
     op = feat[C.F_OP:C.F_OP + 1, :]
     vld = feat[C.F_VALID:C.F_VALID + 1, :]
     expp = jnp.exp(power)
@@ -134,7 +130,7 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0,
     one_m = 1.0 - alpha
 
     logs = jnp.log1p(-alpha)
-    s_incl = _prefix_matmul_f32(logs, u_tri, prec)
+    s_incl = _prefix_matmul_f32(logs, u_tri)
     t_incl = jnp.exp(s_incl)
     t_excl = t_incl / one_m          # exp(s_incl - logs), one exp cheaper
     test = t_in * t_incl
@@ -259,16 +255,15 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             done_in = dt_ref[:, 1:2]
             tile_x0 = (tile % gx_grid) * cfg.tile_w
             tile_y0 = (tile // gx_grid) * cfg.tile_h
-            prec = _PREC[cfg.matmul_precision]
             q = _chunk_blend_quantities(
                 pay_buf_ref[slot, :8, j * sub:(j + 1) * sub], u_ref[:, :],
-                basis_ref[:, :], t_in, done_in, tile_x0, tile_y0, prec)
+                basis_ref[:, :], t_in, done_in, tile_x0, tile_y0)
             # colT rows 10..15 are zero-padded, so += never touches the
             # done/trans lanes
             acc_ref[:, :] += jax.lax.dot_general(
                 q["w"], pay_buf_ref[slot, 8:24, j * sub:(j + 1) * sub],
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=_F32, precision=prec)
+                preferred_element_type=_F32, precision=_HI)
             dt_ref[:, :] = jnp.concatenate([q["t_new"], q["done_new"]],
                                            axis=1)
             flag_ref[0] = jnp.min(q["done_new"])
@@ -417,15 +412,14 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             total = carry[:, 3:4]
             tile_x0 = (tile % gx_grid) * cfg.tile_w
             tile_y0 = (tile // gx_grid) * cfg.tile_h
-            prec = _PREC[cfg.matmul_precision]
             q = _chunk_blend_quantities(feat, u_ref[:, :], basis_ref[:, :],
-                                        t_in, done_in, tile_x0, tile_y0, prec)
+                                        t_in, done_in, tile_x0, tile_y0)
 
             # u[pix, i] = sum_ch g[pix, ch] * colT[ch, i]
             u = jnp.dot(g, colT, preferred_element_type=_F32,
-                        precision=prec)                             # [PIX, SUB]
+                        precision=_HI)                              # [PIX, SUB]
             uw = u * q["w"]
-            prefix_incl = prefix_in + _prefix_matmul_f32(uw, u_ref[:, :], prec)
+            prefix_incl = prefix_in + _prefix_matmul_f32(uw, u_ref[:, :])
             a_suffix = total - prefix_incl
             dalpha = jnp.where(q["contrib"],
                                u * q["t_before"] - a_suffix / q["one_m"], 0.0)
@@ -439,7 +433,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             moments = jax.lax.dot_general(m, basis_ref[:, :],
                                           (((0,), (0,)), ((), ())),
                                           preferred_element_type=_F32,
-                                          precision=prec)           # [SUB, 8]
+                                          precision=_HI)            # [SUB, 8]
             mxx = moments[:, 0][None, :]
             myy = moments[:, 1][None, :]
             mxy = moments[:, 2][None, :]
@@ -468,7 +462,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             # dL/d(colT) [16, SUB] = g^T @ w
             d_colT = jax.lax.dot_general(
                 g, q["w"], (((0,), (0,)), ((), ())),
-                preferred_element_type=_F32, precision=prec)
+                preferred_element_type=_F32, precision=_HI)
             dpay_ref[0, :, sl] = jnp.concatenate(
                 [d_gx, d_gy, d_a, d_b, d_c, d_op, zero, zero, d_colT],
                 axis=0)                                             # [24, SUB]
