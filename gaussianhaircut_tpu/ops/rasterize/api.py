@@ -119,10 +119,12 @@ def _rasterize_pallas_bwd(width, height, cfg, res, cot):
     p = binned.gauss_offset.shape[0]
     cap = cfg.instance_capacity(p)
     g24 = dpay.swapaxes(1, 2).reshape(s, 24)
-    orig = binned.orig.reshape(s)
-    # slots sorted by expansion index -> gather puts gradients in the
-    # gid-contiguous expansion order (invalid slots carry zero gradients)
-    _, order = jax.lax.sort((orig, jnp.arange(s, dtype=jnp.int32)), num_keys=1)
+    gid = binned.gid.reshape(s)
+    # slots sorted by (gid, slot) -> gaussian g's slots land in the contiguous
+    # range [gauss_offset[g], gauss_offset[g] + gauss_count[g]) (counts are
+    # preserved; invalid slots carry gid = P and sort past cap).  The slot
+    # tiebreak makes the summation order deterministic.
+    _, order = jax.lax.sort((gid, jnp.arange(s, dtype=jnp.int32)), num_keys=2)
     g24 = g24[order[:cap]]
     csum = jnp.cumsum(g24, axis=0)                                # [cap, 24]
 

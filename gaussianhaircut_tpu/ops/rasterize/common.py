@@ -81,11 +81,9 @@ class Binned(NamedTuple):
                                  # skipped-chunk path)
     tile_of_chunk: jnp.ndarray   # [TC] int32
     chunk_in_tile: jnp.ndarray   # [TC] int32 (0 marks first chunk of its tile)
-    gid: jnp.ndarray             # [TC, CH] int32 source Gaussian per slot (P if invalid)
-    orig: jnp.ndarray            # [TC, CH] int32 pre-sort (gid-ordered) expansion
-                                 # index per slot (cap-based sentinel if invalid);
-                                 # the key to the deterministic segment reduction
-                                 # in the backward
+    gid: jnp.ndarray             # [TC, CH] int32 source Gaussian per slot (P if
+                                 # invalid); the key to the deterministic
+                                 # segment reduction in the backward
     gauss_offset: jnp.ndarray    # [P] int32 exclusive prefix of tiles_touched
     gauss_count: jnp.ndarray     # [P] int32 tiles_touched
     num_rendered: jnp.ndarray    # scalar int32, pre-truncation instance count
@@ -208,15 +206,16 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     tile_y = ggeo[:, 3] + q
     tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x, num_tiles).astype(jnp.int32)
 
-    # --- the radix sort: (tile, depth, id) lexicographic, like the stable
-    # CUDA sort on (tile << 32 | depth-bits).  Only the expansion index rides
-    # along as payload; since it is unique and monotone in gid, sorting by it
-    # as the third key yields the exact (tile, depth, gid) order while moving
-    # one less operand (gid is recovered by a gather afterwards) ---
+    # --- the radix sort: (tile, depth, expansion-id) lexicographic, like the
+    # stable CUDA sort on (tile << 32 | depth-bits).  gid rides along as a
+    # payload operand: a 4th sort operand is ~free on TPU, while recovering
+    # gid afterwards (gid[orig_sorted[src]]) costs ~5 ms of chained element
+    # gathers at bench scale ---
     inst_depth = jnp.where(inst_valid, depth[gid], jnp.inf).astype(jnp.float32)
     inst_idx = jnp.arange(cap, dtype=jnp.int32)
-    tile_sorted, _, orig_sorted = jax.lax.sort(
-        (tile_id, inst_depth, inst_idx), num_keys=3)
+    _tile_sorted, _, _, gid_sorted = jax.lax.sort(
+        (tile_id, inst_depth, inst_idx, gid), num_keys=3)
+    tile_sorted = _tile_sorted
 
     # --- identifyTileRanges -> chunk-aligned layout ---
     # per-tile counts from the SORTED tile ids via binary search (a scatter
@@ -243,10 +242,8 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     slot_ok = off_in_tile < cinfo[:, 0:1]
     src = jnp.where(slot_ok, cinfo[:, 1:2] + off_in_tile, cap - 1)
 
-    orig_raw = orig_sorted[src.reshape(-1)]                          # [S]
+    gid_raw = gid_sorted[src.reshape(-1)]                            # [S]
     ok_flat = slot_ok.reshape(-1)
-    orig_slot = jnp.where(ok_flat, orig_raw, cap).astype(jnp.int32)
-    gid_raw = gid[jnp.minimum(orig_raw, cap - 1)]                    # [S]
     gid_slot = jnp.where(ok_flat, gid_raw, p).astype(jnp.int32)
 
     # --- gather per-instance payload (differentiable, ONE row-gather of the
@@ -273,7 +270,6 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     return Binned(payload=payload, tile_of_chunk=tile_of_chunk,
                   chunk_in_tile=chunk_in_tile,
                   gid=gid_slot.reshape(total_chunks, ch),
-                  orig=orig_slot.reshape(total_chunks, ch),
                   gauss_offset=offsets.astype(jnp.int32),
                   gauss_count=pre.tiles_touched,
                   num_rendered=total.astype(jnp.int32), num_tiles=num_tiles)

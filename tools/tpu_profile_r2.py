@@ -87,12 +87,13 @@ def timeit(name, f, n=N):
 def make_stage(stage):
     # all tensors are ARGUMENTS (not closures): closed-over constants get
     # constant-folded at compile time, which silently removes the whole
-    # index pipeline from stages A..E (observed in the first run of this
-    # profile: D_sort "faster" than C_tileids)
+    # index pipeline from stages A..F (observed in the first run of this
+    # profile: D_sort "faster" than C_tileids).  Stages mirror
+    # common.bin_instances EXACTLY (keep in sync when editing it).
     @jax.jit
     def f(ndc, conic, depth, opac):
         mp = ndc_xy_to_pixel(ndc, W, H)
-        pre = C.preprocess(mp, conic, depth, valid, W, H, cfg)
+        pre = C.preprocess(mp, conic, depth, valid, W, H, cfg, opacity=opac)
         gx_grid, gy_grid = cfg.grid(W, H)
         num_tiles = gx_grid * gy_grid
         cap = cfg.instance_capacity(P)
@@ -122,8 +123,8 @@ def make_stage(stage):
             return tile_id[::17].sum() + opac.sum()
         inst_depth = jnp.where(inst_valid, depth[gid], jnp.inf).astype(jnp.float32)
         inst_idx = jnp.arange(cap, dtype=jnp.int32)
-        tile_sorted, _, gid_sorted, orig_sorted = jax.lax.sort(
-            (tile_id, inst_depth, gid, inst_idx), num_keys=3)
+        tile_sorted, _, _, gid_sorted = jax.lax.sort(
+            (tile_id, inst_depth, inst_idx, gid), num_keys=3)
         if stage == "D_sort":
             return gid_sorted[::17].sum() + opac.sum()
         bounds = jnp.searchsorted(tile_sorted,
@@ -137,32 +138,35 @@ def make_stage(stage):
         tile_of_chunk = jnp.searchsorted(chunk_start, chunk_ids,
                                          side="right").astype(jnp.int32) - 1
         tile_of_chunk = jnp.clip(tile_of_chunk, 0, num_tiles - 1)
-        slot = jnp.arange(total_chunks * ch, dtype=jnp.int32)
-        slot_tile = tile_of_chunk[slot // ch]
-        tinfo = jnp.stack([chunk_start * ch, counts, tile_start], axis=-1)[slot_tile]
-        off_in_tile = slot - tinfo[:, 0]
-        slot_ok = off_in_tile < tinfo[:, 1]
-        src = jnp.where(slot_ok, tinfo[:, 2] + off_in_tile, cap - 1)
-        sorted_pack = jnp.stack([gid_sorted, orig_sorted], axis=-1)[src]
-        gid_slot = jnp.where(slot_ok, sorted_pack[:, 0], P).astype(jnp.int32)
-        if stage == "E_slots":
+        chunk_in_tile = chunk_ids - chunk_start[tile_of_chunk]
+        cinfo = jnp.stack([counts, tile_start], axis=-1)[tile_of_chunk]
+        lane = jnp.arange(ch, dtype=jnp.int32)[None, :]
+        off_in_tile = chunk_in_tile[:, None] * ch + lane
+        slot_ok = off_in_tile < cinfo[:, 0:1]
+        src = jnp.where(slot_ok, cinfo[:, 1:2] + off_in_tile, cap - 1)
+        if stage == "E_chunktables":
+            return src[::17].sum() + opac.sum()
+        gid_raw = gid_sorted[src.reshape(-1)]
+        ok_flat = slot_ok.reshape(-1)
+        gid_slot = jnp.where(ok_flat, gid_raw, P).astype(jnp.int32)
+        if stage == "F_idgather":
             return gid_slot[::17].sum() + opac.sum()
         safe_gid = jnp.minimum(gid_slot, P - 1)
-        okf = slot_ok.astype(jnp.float32)
-        packed = jnp.concatenate([
-            mp, conic, opac, jnp.ones((P, 1), mp.dtype),
-            jnp.zeros((P, 1), mp.dtype)], axis=-1)
-        feat_cols = packed[safe_gid] * okf[:, None]
-        feat = feat_cols.reshape(total_chunks, ch, 8).swapaxes(1, 2)
-        col = colors[safe_gid] * okf[:, None]
-        col = jnp.pad(col, ((0, 0), (0, C.PAD_CHANNELS - col.shape[1])))
-        col = col.reshape(total_chunks, ch, C.PAD_CHANNELS)
-        return feat[::7].sum() + col[::7].sum()
+        okf = ok_flat.astype(jnp.float32)
+        pack24 = jnp.concatenate([
+            mp, conic, opac,
+            jnp.ones((P, 1), mp.dtype), jnp.zeros((P, 1), mp.dtype),
+            colors,
+            jnp.zeros((P, C.PAD_CHANNELS - colors.shape[1]), mp.dtype),
+        ], axis=-1)
+        payload = pack24[safe_gid] * okf[:, None]
+        payload = payload.reshape(total_chunks, ch, 24).swapaxes(1, 2)
+        return payload[::7].sum() + opac.sum()
     return f
 
 
-for stage in ("A_preprocess", "B_repeat", "C_tileids", "D_sort", "E_slots",
-              "F_full"):
+for stage in ("A_preprocess", "B_repeat", "C_tileids", "D_sort",
+              "E_chunktables", "F_idgather", "G_payload"):
     timeit(stage, lambda i, f=make_stage(stage): f(
         ndc * (1.0 + 1e-7 * i), conic, depth * (1.0 + 1e-7 * i),
         opacity * (1.0 - 1e-5 * i)))
@@ -172,7 +176,7 @@ for stage in ("A_preprocess", "B_repeat", "C_tileids", "D_sort", "E_slots",
 @jax.jit
 def prepare(opac):
     mp = ndc_xy_to_pixel(ndc, W, H)
-    pre = C.preprocess(mp, conic, depth, valid, W, H, cfg)
+    pre = C.preprocess(mp, conic, depth, valid, W, H, cfg, opacity=opac)
     return C.bin_instances(pre, mp, conic, opac, colors, depth, W, H, cfg)
 
 
