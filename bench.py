@@ -67,14 +67,20 @@ def main():
 
     opt_cfg = OptimizationConfig(lambda_dorient=0.1)
     tile = int(os.environ.get("BENCH_TILE", 32))
-    # default capacity_mult 9 holds every rendered instance at the default
-    # config (num_rendered ~ 8.1 * P); the r1 bench ran mult=4 and silently
-    # truncated ~half the instances, overstating it/s
-    raster_cfg = RasterConfig(
-        backend="auto", tile_w=tile, tile_h=tile,
-        chunk=int(os.environ.get("BENCH_CHUNK", 128)),
-        capacity_mult=int(os.environ.get("BENCH_CAP_MULT", 9)),
-        segment_chunks=int(os.environ.get("BENCH_SEG", 4096)))
+    mult_env = os.environ.get("BENCH_CAP_MULT")
+
+    def make_cfg(mult):
+        return RasterConfig(
+            backend="auto", tile_w=tile, tile_h=tile,
+            chunk=int(os.environ.get("BENCH_CHUNK", 128)),
+            capacity_mult=mult,
+            segment_chunks=int(os.environ.get("BENCH_SEG", 4096)))
+
+    # probe at a generous capacity, then right-size to the measured instance
+    # count + headroom (the bench analog of the trainer's auto-grow: capacity
+    # is pure padding overhead as long as nothing is truncated; the r1 bench
+    # ran mult=4 and silently truncated ~half the instances)
+    raster_cfg = make_cfg(int(mult_env) if mult_env else 9)
     tstate = init_train_state(state, n_views, use_barf=True)
 
     def step(tstate, idx):
@@ -84,8 +90,17 @@ def main():
             opt_cfg=opt_cfg, trainable_cameras=True,
             trainable_intrinsics=True, use_barf=True, white_background=False)
 
-    tstate, _ = step(tstate, jnp.asarray(0))
+    tstate, m0 = step(tstate, jnp.asarray(0))
     jax.block_until_ready(tstate.model.params.xyz)
+    if mult_env is None:
+        nr = int(m0["num_rendered"])
+        mult = min(max(2, -(-int(1.12 * nr) // p)), 64)
+        if mult != raster_cfg.capacity_mult:
+            print(f"# right-sizing capacity_mult 9 -> {mult} "
+                  f"(num_rendered {nr})", file=sys.stderr)
+            raster_cfg = make_cfg(mult)
+            tstate, _ = step(tstate, jnp.asarray(0))
+            jax.block_until_ready(tstate.model.params.xyz)
 
     t0 = time.time()
     for i in range(iters):
