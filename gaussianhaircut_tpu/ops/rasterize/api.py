@@ -51,9 +51,13 @@ def ndc_xy_to_pixel(ndc: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     return ((ndc[:, :2] + 1.0) * size - 1.0) * 0.5
 
 
-def _prepare(ndc, conic, colors, opacity, depth, valid, width, height, cfg):
+def _prepare(ndc, conic, colors, opacity, depth, valid, width, height, cfg,
+             full_height):
     sg = jax.lax.stop_gradient
-    mean_pix = ndc_xy_to_pixel(ndc, width, height)
+    # NDC -> pixel uses the FULL image height; the raster grid uses `height`
+    # (rows being rendered).  A caller that shifts ndc_y by -2*y0/full_height
+    # renders the row window [y0, y0 + height) — the tile-sharding hook.
+    mean_pix = ndc_xy_to_pixel(ndc, width, full_height or height)
     pre = C.preprocess(sg(mean_pix), sg(conic), sg(depth), valid, width,
                        height, cfg, opacity=sg(opacity))
     binned = C.bin_instances(pre, mean_pix, conic, opacity, colors, depth,
@@ -80,18 +84,18 @@ def _disassemble_cotangent(g_img, g_t, bg, width, height, cfg):
     return jnp.concatenate([gi, zeros, g15[..., None]], axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _rasterize_pallas(ndc, conic, colors, opacity, depth, valid, bg,
-                      width, height, cfg):
+                      width, height, cfg, full_height):
     out, _ = _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid,
-                                   bg, width, height, cfg)
+                                   bg, width, height, cfg, full_height)
     return out
 
 
 def _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid, bg,
-                          width, height, cfg):
+                          width, height, cfg, full_height):
     pre, binned = _prepare(ndc, conic, colors, opacity, depth, valid,
-                           width, height, cfg)
+                           width, height, cfg, full_height)
     tile_buf = pallas_core.raster_core_pallas_fwd(binned, width, height, cfg,
                                                   interpret=_interpret())
     image, t_final = C.assemble_image(tile_buf, bg, width, height, cfg)
@@ -105,7 +109,7 @@ def _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid, bg,
     return out, (binned, tile_buf, bg, t_final)
 
 
-def _rasterize_pallas_bwd(width, height, cfg, res, cot):
+def _rasterize_pallas_bwd(width, height, cfg, full_height, res, cot):
     binned, tile_buf, bg, t_final = res
     g_img, g_t, _g_radii, _g_vis, _g_num = cot
 
@@ -137,7 +141,8 @@ def _rasterize_pallas_bwd(width, height, cfg, res, cot):
 
     d_gx = seg[:, C.F_GX]
     d_gy = seg[:, C.F_GY]
-    d_ndc = jnp.stack([d_gx * (width * 0.5), d_gy * (height * 0.5),
+    d_ndc = jnp.stack([d_gx * (width * 0.5),
+                       d_gy * ((full_height or height) * 0.5),
                        jnp.zeros_like(d_gx)], axis=-1)
     d_conic = seg[:, C.F_CA:C.F_CC + 1]
     d_opacity = seg[:, C.F_OP:C.F_OP + 1]
@@ -154,11 +159,11 @@ _rasterize_pallas.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)
 
 
 def _rasterize_jnp(ndc, conic, colors, opacity, depth, valid, bg,
-                   width, height, cfg):
+                   width, height, cfg, full_height=None):
     """CPU/debug path: chunk-scan core under plain autodiff (the binning
     gathers' transpose handles the reduction)."""
     pre, binned = _prepare(ndc, conic, colors, opacity, depth, valid,
-                           width, height, cfg)
+                           width, height, cfg, full_height)
     tile_buf = jnp_core.raster_core_jnp(binned, width, height, cfg)
     image, t_final = C.assemble_image(tile_buf, bg, width, height, cfg)
     radii = jax.lax.stop_gradient(pre.radius).astype(jnp.int32)
@@ -173,7 +178,8 @@ def _rasterize_jnp(ndc, conic, colors, opacity, depth, valid, bg,
 def rasterize(ndc: jnp.ndarray, conic: jnp.ndarray, colors: jnp.ndarray,
               opacity: jnp.ndarray, depth: jnp.ndarray, valid: jnp.ndarray,
               bg: jnp.ndarray, width: int, height: int,
-              cfg: C.RasterConfig | None = None) -> dict[str, Any]:
+              cfg: C.RasterConfig | None = None,
+              full_height: int | None = None) -> dict[str, Any]:
     """Differentiable 10-channel Gaussian splatting.
 
     Args:
@@ -185,8 +191,10 @@ def rasterize(ndc: jnp.ndarray, conic: jnp.ndarray, colors: jnp.ndarray,
       depth: [P] view-space z (sort key; non-differentiable).
       valid: [P] bool pre-culling mask.
       bg: [10] background (blended as C + T_final * bg).
-      width, height: static image size.
+      width, height: static raster size (height = rows being rendered).
       cfg: RasterConfig.
+      full_height: full-image height for the NDC->pixel conversion when
+        rendering a row window (tile sharding); None = height.
     Returns dict with: render [10, H, W], final_T [H, W], radii [P],
       visibility [P] bool, num_rendered scalar.
     """
@@ -197,7 +205,7 @@ def rasterize(ndc: jnp.ndarray, conic: jnp.ndarray, colors: jnp.ndarray,
         raise ValueError(f"unknown rasterize backend: {backend}")
     image, t_final, radii, visibility, num_rendered = fn(
         ndc, conic, colors, opacity, depth.astype(jnp.float32), valid, bg,
-        width, height, cfg)
+        width, height, cfg, full_height)
     return {
         "render": image,
         "final_T": t_final,

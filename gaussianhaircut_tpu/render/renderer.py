@@ -44,11 +44,10 @@ class GaussianFields(NamedTuple):
                                               # conf zeroed elsewhere), None = all
 
 
-def render_fields(fields: GaussianFields, active_sh_degree: int,
-                  cam: proj.CameraGeom, bg: jnp.ndarray,
-                  cfg: RasterConfig | None = None,
-                  scaling_modifier: float = 1.0) -> dict:
-    """Render activated fields through the splatting kernel and decode."""
+def prepare_raster_inputs(fields: GaussianFields, active_sh_degree: int,
+                          cam: proj.CameraGeom, scaling_modifier: float = 1.0):
+    """Differentiable per-Gaussian precompute -> the rasterize() operand tuple
+    (ndc, conic, colors10, opacity, depth, valid)."""
     xyz = fields.xyz
     scaling = fields.scaling * scaling_modifier
     rot_m = fields.rotation_matrix
@@ -71,11 +70,12 @@ def render_fields(fields: GaussianFields, active_sh_degree: int,
     colors = jnp.concatenate(
         [rgb, fields.label, jnp.ones_like(fields.label), dir2d, orient_conf,
          depth], axis=-1)
+    return ndc, conic, colors, fields.opacity, depth[:, 0], fields.valid
 
-    out = rasterize(ndc, conic, colors, fields.opacity, depth[:, 0],
-                    fields.valid, bg, cam.width, cam.height, cfg)
 
-    render10 = out["render"]
+def decode_render10(render10: jnp.ndarray) -> dict:
+    """Channel decode of a composited [10, H, W] image
+    (gaussian_renderer/__init__.py:100-105)."""
     image = render10[0:3]
     mask = render10[3:5]
     dir_r = render10[5:7]
@@ -96,11 +96,26 @@ def render_fields(fields: GaussianFields, active_sh_degree: int,
         "orient_conf": orient_conf_r,
         "depth": render10[9:10],
         "render10": render10,
+    }
+
+
+def render_fields(fields: GaussianFields, active_sh_degree: int,
+                  cam: proj.CameraGeom, bg: jnp.ndarray,
+                  cfg: RasterConfig | None = None,
+                  scaling_modifier: float = 1.0) -> dict:
+    """Render activated fields through the splatting kernel and decode."""
+    ndc, conic, colors, opacity, depth, valid = prepare_raster_inputs(
+        fields, active_sh_degree, cam, scaling_modifier)
+    out = rasterize(ndc, conic, colors, opacity, depth, valid, bg,
+                    cam.width, cam.height, cfg)
+    decoded = decode_render10(out["render"])
+    decoded.update({
         "final_T": out["final_T"],
         "visibility_filter": out["visibility"],
         "radii": out["radii"],
         "num_rendered": out["num_rendered"],
-    }
+    })
+    return decoded
 
 
 def fields_from_params(p: gm.GaussianParams, alive: jnp.ndarray) -> GaussianFields:

@@ -1,0 +1,110 @@
+"""Parallel layer: camera-DP and tile-row-sharded train steps on the 8-CPU
+virtual mesh (conftest forces xla_force_host_platform_device_count=8)."""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussianhaircut_tpu.config import OptimizationConfig
+from gaussianhaircut_tpu.models import gaussian_model as gm
+from gaussianhaircut_tpu.ops.rasterize import RasterConfig
+from gaussianhaircut_tpu.parallel import (
+    dp_train_step, dp_tp_train_step, make_camera_mesh, make_mesh2d,
+)
+from gaussianhaircut_tpu.scene.cameras import CameraBatch
+from gaussianhaircut_tpu.train import stage1
+
+from tests.test_stage1 import make_toy_scene
+
+
+def _setup(res=128, n_views=4, n_pts=200):
+    cams, pts, cols = make_toy_scene(n_views=n_views, res=res, n_pts=n_pts)
+    rng = np.random.default_rng(3)
+    for c in cams:
+        c.image = rng.uniform(size=(3, res, res)).astype(np.float32)
+        c.mask_hair = np.full((1, res, res), 0.5, np.float32)
+        c.mask_body = np.ones((1, res, res), np.float32)
+        c.orient_angle = rng.uniform(size=(1, res, res)).astype(np.float32)
+        c.orient_conf = np.ones((1, res, res), np.float32)
+    state = gm.create_from_pcd(pts, cols, 256, 1, 1.0)
+    tstate = stage1.init_train_state(state, n_views, use_barf=True)
+    cam_batch = CameraBatch.from_cameras(cams)
+    gt = stage1.GtBatch.from_cameras(cams)
+    return tstate, cam_batch, gt, res
+
+
+COMMON = dict(active_sh_degree=1, trainable_cameras=True,
+              trainable_intrinsics=True, use_barf=True,
+              white_background=False)
+
+
+def test_tile_sharded_matches_single_chip():
+    """1 camera x 8 tile-row shards == the single-chip step (same losses,
+    same parameter update) up to float reassociation."""
+    tstate, cam_batch, gt, res = _setup()
+    raster_cfg = RasterConfig(tile_w=16, tile_h=16, chunk=32,
+                              capacity_mult=24, backend="jnp")
+    opt_cfg = OptimizationConfig(lambda_dorient=0.1)
+
+    ref_state, ref_metrics = stage1.train_step(
+        tstate, cam_batch, gt, jnp.asarray(0), width=res, height=res,
+        raster_cfg=raster_cfg, opt_cfg=opt_cfg, **COMMON)
+
+    mesh = make_mesh2d(1, 8)
+    step = dp_tp_train_step(mesh, width=res, height=res,
+                            raster_cfg=raster_cfg, opt_cfg=opt_cfg, **COMMON)
+    tp_state, tp_metrics = step(tstate, cam_batch, gt,
+                                jnp.zeros((1,), jnp.int32))
+
+    for k in ("l1", "ssim", "mask", "orient", "total"):
+        np.testing.assert_allclose(float(tp_metrics[k]),
+                                   float(ref_metrics[k]), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tp_state.model.params.xyz),
+                               np.asarray(ref_state.model.params.xyz),
+                               rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(tp_state.model.params.opacity),
+                               np.asarray(ref_state.model.params.opacity),
+                               rtol=1e-3, atol=2e-5)
+    # densify stats match too (same visibility/radii across the shards)
+    np.testing.assert_allclose(np.asarray(tp_state.model.aux.denom),
+                               np.asarray(ref_state.model.aux.denom),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tp_state.model.aux.max_radii2d),
+                               np.asarray(ref_state.model.aux.max_radii2d),
+                               atol=1e-5)
+
+
+def test_dp_tp_2x4_runs():
+    """2 cameras x 4 row shards: one step executes, params move, metrics
+    finite."""
+    tstate, cam_batch, gt, res = _setup()
+    raster_cfg = RasterConfig(tile_w=16, tile_h=16, chunk=32,
+                              capacity_mult=24, backend="jnp")
+    opt_cfg = OptimizationConfig(lambda_dorient=0.1)
+    mesh = make_mesh2d(2, 4)
+    step = dp_tp_train_step(mesh, width=res, height=res,
+                            raster_cfg=raster_cfg, opt_cfg=opt_cfg, **COMMON)
+    x0 = np.asarray(tstate.model.params.xyz).copy()
+    new_state, metrics = step(tstate, cam_batch, gt,
+                              jnp.asarray([0, 1], jnp.int32))
+    assert np.isfinite(float(metrics["total"]))
+    assert bool(metrics["grads_ok"])
+    assert not np.allclose(np.asarray(new_state.model.params.xyz), x0)
+    assert int(new_state.step) == 1
+
+
+def test_dp_8x1_runs():
+    """Plain camera-DP over 8 devices still works (regression guard for the
+    shared helpers)."""
+    tstate, cam_batch, gt, res = _setup(n_views=8)
+    raster_cfg = RasterConfig(tile_w=16, tile_h=16, chunk=32,
+                              capacity_mult=24, backend="jnp")
+    opt_cfg = OptimizationConfig(lambda_dorient=0.1)
+    mesh = make_camera_mesh()
+    step = dp_train_step(mesh, width=res, height=res, raster_cfg=raster_cfg,
+                         opt_cfg=opt_cfg, **COMMON)
+    new_state, metrics = step(tstate, cam_batch, gt,
+                              jnp.arange(8, dtype=jnp.int32))
+    assert np.isfinite(float(metrics["total"]))
