@@ -91,21 +91,25 @@ def render_set(model_path, split_name, iteration, cams, model_state, residuals,
     bg = default_background(model_cfg.white_background)
     width, height = cams[0].width, cams[0].height
 
+    # model state is a jit ARGUMENT (closing over a large trained state as a
+    # compile-time constant renders empty through the axon TPU backend —
+    # NOTES_ROUND2.md)
     @jax.jit
-    def render_view(idx):
+    def render_view(params, alive, idx):
         geom = camera_geom(cam_batch.colmap_transform[idx], cam_batch.fovx[idx],
                            cam_batch.fovy[idx], width, height, residuals, idx,
                            use_barf=model_cfg.use_barf,
                            trainable_cameras=model_cfg.trainable_cameras and residuals is not None,
                            trainable_intrinsics=model_cfg.trainable_intrinsics and residuals is not None)
-        out = render(model_state.params, model_state.aux.alive,
-                     model_state.max_sh_degree, geom, bg, raster_cfg)
+        out = render(params, alive, model_state.max_sh_degree, geom, bg,
+                     raster_cfg)
         return (out["render"], out["mask"], out["orient_angle"],
                 out["orient_conf"])
 
     for i, cam in enumerate(cams):
         image, mask, orient_angle, orient_conf = jax.device_get(
-            render_view(jnp.asarray(i)))
+            render_view(model_state.params, model_state.aux.alive,
+                        jnp.asarray(i)))
         hair_mask = mask[:1]
         head_mask = mask[1:]
         masked_angle = orient_angle * hair_mask

@@ -40,8 +40,10 @@ def render_hair_set(model_hair_path, split_name, iteration, cams, head,
     width, height = cams[0].width, cams[0].height
     fields = concat_fields(head, hair_fields)
 
+    # fields are a jit ARGUMENT (large closure constants render empty
+    # through the axon TPU backend — NOTES_ROUND2.md)
     @jax.jit
-    def render_view(idx):
+    def render_view(fields, idx):
         geom = camera_geom(cam_batch.colmap_transform[idx], cam_batch.fovx[idx],
                            cam_batch.fovy[idx], width, height, residuals, idx,
                            trainable_cameras=residuals is not None,
@@ -52,7 +54,7 @@ def render_hair_set(model_hair_path, split_name, iteration, cams, head,
 
     for i, cam in enumerate(cams):
         image, mask, orient_angle, orient_conf = jax.device_get(
-            render_view(jnp.asarray(i)))
+            render_view(fields, jnp.asarray(i)))
         hair_mask = mask[:1]
         name = os.path.basename(cam.image_name).split(".")[0]
         save_image(image, os.path.join(dirs["renders"], name + ".png"))

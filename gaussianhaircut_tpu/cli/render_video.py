@@ -67,11 +67,13 @@ def main(argv=None):
     frames_dir = os.path.join(model_cfg.model_path, "video_frames")
     os.makedirs(frames_dir, exist_ok=True)
 
+    # model state is a jit ARGUMENT (large closure constants render empty
+    # through the axon TPU backend — NOTES_ROUND2.md)
     @jax.jit
-    def render_one(w2c):
+    def render_one(params, alive, w2c):
         geom = camera_geom(w2c, jnp.asarray(fovx), jnp.asarray(fovy),
                            width, height, None)
-        return render(state.params, state.aux.alive, state.max_sh_degree,
+        return render(params, alive, state.max_sh_degree,
                       geom, bg, raster_cfg)["render"]
 
     blender_cams = {}
@@ -79,7 +81,8 @@ def main(argv=None):
         w2c = np.eye(4, dtype=np.float32)
         w2c[:3, :3] = r_path[i]
         w2c[:3, 3] = t_path[i]
-        img = np.asarray(render_one(jnp.asarray(w2c)))
+        img = np.asarray(render_one(state.params, state.aux.alive,
+                                    jnp.asarray(w2c)))
         save_image(img[:3], os.path.join(frames_dir, f"{i:06d}.png"))
         blender_cams[f"{i:06d}"] = {
             "Rt": w2c, "width": width, "height": height,

@@ -245,37 +245,54 @@ def init_train_state(model_state: gm.GaussianModelState, n_cameras: int,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "width", "height", "raster_cfg",
+                     "use_barf", "trainable_cameras", "trainable_intrinsics",
+                     "white_background"))
+def _eval_one(params, alive, cam_res, colmap_t, fovx, fovy, idx,
+              gt_img, gt_mask, gt_oa, gt_oc, *, active_sh_degree, width,
+              height, raster_cfg, use_barf, trainable_cameras,
+              trainable_intrinsics, white_background):
+    # Model state and GT MUST be jit arguments, not closure constants: besides
+    # re-specializing per call, closing over a large trained state produced
+    # EMPTY renders on the axon TPU backend (constants silently broken at
+    # ~125 MB; observed 2026-08-17, postmortem in NOTES_ROUND2.md) while the
+    # identical computation with arguments was correct.
+    cam = camera_geom(colmap_t, fovx, fovy, width, height, cam_res, idx,
+                      use_barf=use_barf, trainable_cameras=trainable_cameras,
+                      trainable_intrinsics=trainable_intrinsics)
+    bg = default_background(white_background)
+    out = render(params, alive, active_sh_degree, cam, bg, raster_cfg)
+    img = jnp.clip(out["render"], 0.0, 1.0)
+    mask = jnp.clip(out["mask"], 0.0, 1.0)
+    angle = jnp.clip(out["orient_angle"], 0.0, 1.0)
+    gt_img = jnp.clip(gt_img, 0.0, 1.0)
+    gt_mask = jnp.clip(gt_mask, 0.0, 1.0)
+    return (L.l1_loss(img, gt_img),
+            L.l1_loss(mask, gt_mask),
+            L.or_loss(angle, gt_oa, mask=gt_mask[:1], weight=gt_oc),
+            L.psnr(img, gt_img))
+
+
 def evaluate(state: TrainState, cams, cam_batch: CameraBatch, gt: GtBatch,
              indices, *, active_sh_degree, width, height, raster_cfg,
              model_cfg, name="test"):
     """In-training eval over a camera set: mean L1 / mask-L1 / orient / PSNR
     (the training_report loop, train_gaussians.py:241-287)."""
-    bg = default_background(model_cfg.white_background)
-
-    @functools.partial(jax.jit, static_argnames=())
-    def eval_one(idx):
-        cam = camera_geom(cam_batch.colmap_transform[idx],
-                          cam_batch.fovx[idx], cam_batch.fovy[idx],
-                          width, height, state.cam_res, idx,
-                          use_barf=model_cfg.use_barf,
-                          trainable_cameras=model_cfg.trainable_cameras,
-                          trainable_intrinsics=model_cfg.trainable_intrinsics)
-        out = render(state.model.params, state.model.aux.alive,
-                     active_sh_degree, cam, bg, raster_cfg)
-        img = jnp.clip(out["render"], 0.0, 1.0)
-        mask = jnp.clip(out["mask"], 0.0, 1.0)
-        angle = jnp.clip(out["orient_angle"], 0.0, 1.0)
-        gt_img = jnp.clip(gt.image[idx], 0.0, 1.0)
-        gt_mask = jnp.clip(gt.mask[idx], 0.0, 1.0)
-        return (L.l1_loss(img, gt_img),
-                L.l1_loss(mask, gt_mask),
-                L.or_loss(angle, gt.orient_angle[idx], mask=gt_mask[:1],
-                          weight=gt.orient_conf[idx]),
-                L.psnr(img, gt_img))
-
     totals = np.zeros(4)
     for i in indices:
-        totals += np.asarray(jax.device_get(eval_one(jnp.asarray(i))))
+        idx = jnp.asarray(i)
+        totals += np.asarray(jax.device_get(_eval_one(
+            state.model.params, state.model.aux.alive, state.cam_res,
+            cam_batch.colmap_transform[idx], cam_batch.fovx[idx],
+            cam_batch.fovy[idx], idx, gt.image[idx], gt.mask[idx],
+            gt.orient_angle[idx], gt.orient_conf[idx],
+            active_sh_degree=active_sh_degree, width=width, height=height,
+            raster_cfg=raster_cfg, use_barf=model_cfg.use_barf,
+            trainable_cameras=model_cfg.trainable_cameras,
+            trainable_intrinsics=model_cfg.trainable_intrinsics,
+            white_background=model_cfg.white_background)))
     totals /= max(len(indices), 1)
     return {f"{name}_l1": totals[0], f"{name}_ce": totals[1],
             f"{name}_or": totals[2], f"{name}_psnr": totals[3]}

@@ -58,6 +58,11 @@ def main():
                     help="slot headroom over the init count; exhausted slots "
                     "stall splitting and leave big blurry gaussians")
     ap.add_argument("--out", default="")
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="run the trainer's test/train PSNR report on this "
+                    "interval (diagnostic)")
+    ap.add_argument("--save_state", default="",
+                    help="write the final TrainState npz here (post-mortem)")
     args = ap.parse_args()
 
     import jax
@@ -82,15 +87,16 @@ def main():
     cams = make_cameras(args.views + args.test_views, res, res)
 
     @jax.jit
-    def render_gt(colmap_t, fovx, fovy):
+    def render_gt(tparams, talive, colmap_t, fovx, fovy):
         cam = camera_geom(colmap_t, fovx, fovy, res, res, None)
-        out = render(teacher.params, teacher.aux.alive, 3, cam, bg, raster_cfg)
+        out = render(tparams, talive, 3, cam, bg, raster_cfg)
         return (jnp.clip(out["render"], 0.0, 1.0),
                 jnp.clip(out["mask"], 0.0, 1.0),
                 jnp.clip(out["orient_angle"], 0.0, 1.0))
 
     for c in cams:
         img, mask, angle = jax.device_get(render_gt(
+            teacher.params, teacher.aux.alive,
             jnp.asarray(c.colmap_transform), jnp.asarray(c.fovx),
             jnp.asarray(c.fovy)))
         c.image = np.asarray(img)
@@ -137,12 +143,17 @@ def main():
                   f"scl_max={float(state.model.params.scaling.max()):.2f} "
                   f"alive={int(state.model.num_alive())}", flush=True)
 
+    test_iters = (tuple(range(args.eval_every, args.iters + 1,
+                              args.eval_every))
+                  if args.eval_every else ())
     t0 = time.time()
     state = stage1.train(model_cfg, opt_cfg, pipe_cfg, Scene,
-                         test_iterations=(), save_iterations=(),
+                         test_iterations=test_iters, save_iterations=(),
                          checkpoint_iterations=(),
                          progress_callback=cb if log_every else None)
     dt = time.time() - t0
+    if args.save_state:
+        stage1.save_checkpoint(state, args.save_state)
     print(f"# trained {args.iters} iters in {dt:.1f}s "
           f"({args.iters / dt:.2f} it/s)", flush=True)
 

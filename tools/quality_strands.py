@@ -184,7 +184,7 @@ def main():
     fields_gt = stage2.concat_fields(head, hair_t)
 
     @jax.jit
-    def render_gt(colmap_t, fovx, fovy):
+    def render_gt(fields_gt, colmap_t, fovx, fovy):
         cam = camera_geom(colmap_t, fovx, fovy, res, res, None)
         out = render_fields(fields_gt, scfg.sh_degree, cam, bg, raster_cfg)
         return (jnp.clip(out["render"], 0.0, 1.0),
@@ -193,7 +193,7 @@ def main():
 
     for c in cams:
         img, mask, angle = jax.device_get(render_gt(
-            jnp.asarray(c.colmap_transform), jnp.asarray(c.fovx),
+            fields_gt, jnp.asarray(c.colmap_transform), jnp.asarray(c.fovx),
             jnp.asarray(c.fovy)))
         c.image = np.asarray(img)
         c.mask_hair = np.asarray(mask[:1])
@@ -237,7 +237,7 @@ def main():
         merged = stage2.concat_fields(head, fields)
 
         @jax.jit
-        def eval_one(colmap_t, fovx, fovy, gt_img, gt_hair, gt_angle):
+        def eval_one(merged, colmap_t, fovx, fovy, gt_img, gt_hair, gt_angle):
             cam = camera_geom(colmap_t, fovx, fovy, res, res, None)
             out = render_fields(merged, scfg.sh_degree, cam, bg, raster_cfg)
             img = jnp.clip(out["render"], 0.0, 1.0)
@@ -248,7 +248,7 @@ def main():
         totals = np.zeros(3)
         for c in cam_list:
             totals += np.asarray(jax.device_get(eval_one(
-                jnp.asarray(c.colmap_transform), jnp.asarray(c.fovx),
+                merged, jnp.asarray(c.colmap_transform), jnp.asarray(c.fovx),
                 jnp.asarray(c.fovy), jnp.asarray(c.image),
                 jnp.asarray(c.mask_hair), jnp.asarray(c.orient_angle))))
         totals /= len(cam_list)
