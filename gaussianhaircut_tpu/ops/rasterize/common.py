@@ -206,16 +206,16 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     tile_y = ggeo[:, 3] + q
     tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x, num_tiles).astype(jnp.int32)
 
-    # --- the radix sort: (tile, depth, expansion-id) lexicographic, like the
-    # stable CUDA sort on (tile << 32 | depth-bits).  gid rides along as a
-    # payload operand: a 4th sort operand is ~free on TPU, while recovering
-    # gid afterwards (gid[orig_sorted[src]]) costs ~5 ms of chained element
-    # gathers at bench scale ---
+    # --- the radix sort: (tile, depth, gid) lexicographic, like the stable
+    # CUDA sort on (tile << 32 | depth-bits).  gid as the third KEY both
+    # totally orders the instances (a gaussian appears at most once per tile,
+    # and the CUDA stable order for equal (tile, depth) is expansion order =
+    # gid order) and makes gid directly available per sorted position —
+    # recovering it afterwards (gid[orig_sorted[src]]) cost ~5 ms of chained
+    # element gathers at bench scale ---
     inst_depth = jnp.where(inst_valid, depth[gid], jnp.inf).astype(jnp.float32)
-    inst_idx = jnp.arange(cap, dtype=jnp.int32)
-    _tile_sorted, _, _, gid_sorted = jax.lax.sort(
-        (tile_id, inst_depth, inst_idx, gid), num_keys=3)
-    tile_sorted = _tile_sorted
+    tile_sorted, _, gid_sorted = jax.lax.sort(
+        (tile_id, inst_depth, gid), num_keys=3)
 
     # --- identifyTileRanges -> chunk-aligned layout ---
     # per-tile counts from the SORTED tile ids via binary search (a scatter
