@@ -99,15 +99,20 @@ _HI = jax.lax.Precision.HIGHEST
 
 def _prefix_matmul_f32(x, u_tri_f32):
     """Inclusive prefix sum of x [PIX, SUB] along SUB via a triangular-ones
-    matmul at Precision.HIGHEST.
+    matmul, computed as TWO bf16 MXU passes on a hi+lo split of x.
 
-    HIGHEST runs the MXU 6x (3x3 bf16 passes) but those are ~0.5 us at
-    [1024, 128] @ [128, 128] — cheaper than the VPU decomposition passes of
-    the manual bf16 splits this replaces, and exactly f32-accurate (the
-    default precision truncates operands to bf16, which is catastrophic for
-    log-space transmittance sums)."""
-    return jnp.dot(x, u_tri_f32, preferred_element_type=jnp.float32,
-                   precision=_HI)
+    The trick: the ones matrix is EXACT in bf16 and the MXU accumulates in
+    f32, so the only error is x's representation — and bf16(x) + bf16(x -
+    bf16(x)) carries ~17 mantissa bits (~7e-6 relative), far below the
+    2.7e-3 algorithmic parity floor.  Two bf16 passes + three cheap VPU ops
+    replace Precision.HIGHEST's six passes on the kernels' dominant matmul.
+    (Plain bf16x1 is catastrophic here: 2^-8 relative on a log-space
+    transmittance sum reaching -9.2 is a 3-4% error in T.)"""
+    u16 = u_tri_f32.astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(hi, u16, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, u16, preferred_element_type=jnp.float32))
 
 
 def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0):
