@@ -59,7 +59,7 @@ def binning_bench(opac):
     pre = C.preprocess(mp, A[1], jd(depth), jd(valid), W, H, cfg)
     b = C.bin_instances(pre, mp, A[1], opac, A[2], jd(depth), W, H, cfg)
     return (b.feat[::7].sum() + b.colors[::7].sum()
-            + b.orig[::7].sum() + b.gid[::7].sum())
+            + b.gid[::7].sum())
 
 
 @jax.jit
