@@ -31,6 +31,11 @@ def main(argv=None):
     parser.add_argument("--gui", action="store_true",
                         help="serve the SIBR live viewer on --ip/--port "
                         "(train_gaussians.py:79-92)")
+    parser.add_argument("--mesh", type=str, default="",
+                        help="multi-chip mesh 'DATAxTILE' (e.g. 4x2): "
+                        "cameras shard over DATA devices, the rasterizer "
+                        "shards over TILE row shards per camera (new "
+                        "TPU-native capability; empty = single chip)")
     args = parser.parse_args(argv)
 
     if args.gui:
@@ -51,7 +56,8 @@ def main(argv=None):
                  test_iterations=tuple(args.test_iterations),
                  save_iterations=tuple(save_iters),
                  checkpoint_iterations=tuple(args.checkpoint_iterations),
-                 start_checkpoint=args.start_checkpoint)
+                 start_checkpoint=args.start_checkpoint,
+                 mesh_spec=args.mesh)
     print("\nTraining complete.")
 
 

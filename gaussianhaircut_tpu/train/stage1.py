@@ -405,8 +405,15 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
           pipe_cfg: PipelineConfig, scene, *, test_iterations=(1000, 5000, 15000, 30000),
           save_iterations=(1000, 5000, 15000, 30000),
           checkpoint_iterations=(30000,), start_checkpoint=None,
-          progress_callback=None):
-    """Host-side training loop (train_gaussians.py:78-208)."""
+          progress_callback=None, mesh_spec: str = ""):
+    """Host-side training loop (train_gaussians.py:78-208).
+
+    mesh_spec: "DATAxTILE" (e.g. "4x2") runs the multi-chip step from
+    parallel/tile_parallel over a (camera, tile-row) device mesh; each
+    iteration then consumes DATA cameras (gradients averaged — a batch-size
+    deviation from the reference's strictly 1 camera/iteration, documented).
+    Empty = single-chip reference behavior.
+    """
     cams = scene.train_cameras
     assert cams, "no training cameras"
     width, height = cams[0].width, cams[0].height
@@ -432,23 +439,48 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     ema = 0.0
     instance_cap = raster_cfg.instance_capacity(capacity)
 
+    n_data = 1
+    mesh_step_cache = {}
+    if mesh_spec:
+        from gaussianhaircut_tpu.parallel import dp_tp_train_step, make_mesh2d
+        n_data, n_tile = (int(v) for v in mesh_spec.lower().split("x"))
+        mesh = make_mesh2d(n_data, n_tile)
+
+        def make_mesh_step(sh_deg, rcfg):
+            k = (sh_deg, rcfg)
+            if k not in mesh_step_cache:
+                mesh_step_cache[k] = dp_tp_train_step(
+                    mesh, active_sh_degree=sh_deg, width=width, height=height,
+                    raster_cfg=rcfg, opt_cfg=opt_cfg,
+                    trainable_cameras=model_cfg.trainable_cameras,
+                    trainable_intrinsics=model_cfg.trainable_intrinsics,
+                    use_barf=model_cfg.use_barf,
+                    white_background=model_cfg.white_background)
+            return mesh_step_cache[k]
+
     for iteration in range(first_iter + 1, opt_cfg.iterations + 1):
         sh_deg = min(iteration // 1000, model_cfg.sh_degree)
         poll_gui(state, model_cfg, raster_cfg, sh_deg, iteration,
                  opt_cfg.iterations)
-        if not stack:
+        if len(stack) < n_data:
             stack = list(range(len(cams)))
             rng.shuffle(stack)
-        cam_idx = stack.pop(rng.randrange(len(stack)))
 
-        state, metrics = train_step(
-            state, cam_batch, gt, jnp.asarray(cam_idx),
-            active_sh_degree=sh_deg, width=width, height=height,
-            raster_cfg=raster_cfg, opt_cfg=opt_cfg,
-            trainable_cameras=model_cfg.trainable_cameras,
-            trainable_intrinsics=model_cfg.trainable_intrinsics,
-            use_barf=model_cfg.use_barf,
-            white_background=model_cfg.white_background)
+        if mesh_spec:
+            idxs = [stack.pop(rng.randrange(len(stack)))
+                    for _ in range(n_data)]
+            state, metrics = make_mesh_step(sh_deg, raster_cfg)(
+                state, cam_batch, gt, jnp.asarray(idxs, jnp.int32))
+        else:
+            cam_idx = stack.pop(rng.randrange(len(stack)))
+            state, metrics = train_step(
+                state, cam_batch, gt, jnp.asarray(cam_idx),
+                active_sh_degree=sh_deg, width=width, height=height,
+                raster_cfg=raster_cfg, opt_cfg=opt_cfg,
+                trainable_cameras=model_cfg.trainable_cameras,
+                trainable_intrinsics=model_cfg.trainable_intrinsics,
+                use_barf=model_cfg.use_barf,
+                white_background=model_cfg.white_background)
 
         if iteration < opt_cfg.densify_until_iter:
             if (iteration > opt_cfg.densify_from_iter

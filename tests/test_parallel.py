@@ -108,3 +108,38 @@ def test_dp_8x1_runs():
     new_state, metrics = step(tstate, cam_batch, gt,
                               jnp.arange(8, dtype=jnp.int32))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_train_loop_with_mesh(tmp_path):
+    """stage1.train(mesh_spec='2x2') drives the full host loop (densify,
+    auto-grow check, logging) through the 2-D sharded step."""
+    from gaussianhaircut_tpu.config import (ModelConfig, OptimizationConfig,
+                                            PipelineConfig)
+    from gaussianhaircut_tpu.scene.dataset import SceneData
+    from tests.test_stage1 import render_gt_images
+
+    res = 64
+    cams, pts, cols = make_toy_scene(n_views=4, res=res, n_pts=200)
+    for cam, out in zip(cams, render_gt_images(cams, pts, cols, res)):
+        cam.image = np.asarray(out["render"])
+        cam.mask_hair = np.asarray(out["mask"][:1])
+        cam.mask_body = np.clip(np.asarray(out["mask"][1:]), 0, 1)
+        cam.orient_angle = np.asarray(out["orient_angle"])
+        cam.orient_conf = np.ones_like(cam.orient_angle)
+
+    scene = SceneData(train_cameras=cams, test_cameras=[], points=pts,
+                      colors=np.full_like(cols, 0.5), cameras_extent=2.75)
+    model_cfg = ModelConfig(sh_degree=1, model_path="",
+                            trainable_cameras=True, trainable_intrinsics=True)
+    opt_cfg = OptimizationConfig(iterations=8, densify_from_iter=2,
+                                 densify_until_iter=7,
+                                 densification_interval=3,
+                                 opacity_reset_interval=100,
+                                 lambda_dorient=0.1)
+    pipe_cfg = PipelineConfig(raster_backend="jnp", tile=16,
+                              instance_capacity_mult=24, gaussian_capacity=512)
+    state = stage1.train(model_cfg, opt_cfg, pipe_cfg, scene,
+                         test_iterations=(), save_iterations=(),
+                         checkpoint_iterations=(), mesh_spec="2x2")
+    assert int(state.step) == 8
+    assert bool(jnp.isfinite(state.model.params.xyz).all())
