@@ -28,8 +28,13 @@ def _load(path):
     return jnp.asarray(arr.transpose(2, 0, 1))
 
 
-def evaluate_dir(renders_dir: str, gt_dir: str, lpips_weights=None):
-    lp = lpips_or_none(lpips_weights)
+def evaluate_dir(renders_dir: str, gt_dir: str, lpips_weights=None,
+                 allow_untrained_lpips: bool = True):
+    lp = lpips_or_none(lpips_weights, allow_untrained=allow_untrained_lpips)
+    if lp is not None and lp.kind != "pretrained":
+        print(f"  [metrics] LPIPS backbone is '{lp.kind}' (no pretrained "
+              "weights found) — reported as LPIPS_kind in results.json; "
+              "convert real weights with ops/lpips.convert_torch_weights")
     per_view = {"SSIM": {}, "PSNR": {}, "LPIPS": {}}
     names = sorted(os.listdir(renders_dir))
     for name in names:
@@ -40,6 +45,8 @@ def evaluate_dir(renders_dir: str, gt_dir: str, lpips_weights=None):
         if lp is not None:
             per_view["LPIPS"][name] = float(lp(r, g))
     means = {k: float(np.mean(list(v.values()))) for k, v in per_view.items() if v}
+    if lp is not None:
+        means["LPIPS_kind"] = lp.kind
     return means, per_view
 
 
@@ -62,7 +69,8 @@ def evaluate(model_paths, lpips_weights=None):
             full[model_path][method] = means
             per[model_path][method] = views
             print(f"  {method}: " + "  ".join(
-                f"{k} {v:.7f}" for k, v in means.items()))
+                f"{k} {v:.7f}" if isinstance(v, float) else f"{k} {v}"
+                for k, v in means.items()))
         with open(os.path.join(model_path, "results.json"), "w") as f:
             json.dump(full[model_path], f, indent=True)
         with open(os.path.join(model_path, "per_view.json"), "w") as f:

@@ -52,16 +52,18 @@ def ndc_xy_to_pixel(ndc: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
 
 
 def _prepare(ndc, conic, colors, opacity, depth, valid, width, height, cfg,
-             full_height):
+             full_height, n_batch=1):
     sg = jax.lax.stop_gradient
     # NDC -> pixel uses the FULL image height; the raster grid uses `height`
     # (rows being rendered).  A caller that shifts ndc_y by -2*y0/full_height
     # renders the row window [y0, y0 + height) — the tile-sharding hook.
+    # With n_batch > 1 the [P] axis is a flattened camera batch (see
+    # common.bin_instances).
     mean_pix = ndc_xy_to_pixel(ndc, width, full_height or height)
     pre = C.preprocess(sg(mean_pix), sg(conic), sg(depth), valid, width,
                        height, cfg, opacity=sg(opacity))
     binned = C.bin_instances(pre, mean_pix, conic, opacity, colors, depth,
-                             width, height, cfg)
+                             width, height, cfg, n_batch=n_batch)
     return pre, binned
 
 
@@ -84,36 +86,46 @@ def _disassemble_cotangent(g_img, g_t, bg, width, height, cfg):
     return jnp.concatenate([gi, zeros, g15[..., None]], axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _rasterize_pallas(ndc, conic, colors, opacity, depth, valid, bg,
-                      width, height, cfg, full_height):
+                      width, height, cfg, full_height, n_batch):
     out, _ = _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid,
-                                   bg, width, height, cfg, full_height)
+                                   bg, width, height, cfg, full_height,
+                                   n_batch)
     return out
 
 
 def _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid, bg,
-                          width, height, cfg, full_height):
+                          width, height, cfg, full_height, n_batch):
+    # Differentiable inputs are FLAT [B*P, ...] (camera batch flattened);
+    # outputs carry the batch axis [B, ...].
     pre, binned = _prepare(ndc, conic, colors, opacity, depth, valid,
-                           width, height, cfg, full_height)
+                           width, height, cfg, full_height, n_batch)
     tile_buf = pallas_core.raster_core_pallas_fwd(binned, width, height, cfg,
                                                   interpret=_interpret())
-    image, t_final = C.assemble_image(tile_buf, bg, width, height, cfg)
+    t_per = binned.num_tiles // n_batch
+    tb = tile_buf.reshape(n_batch, t_per, cfg.tile_pix, C.PAD_CHANNELS)
+    image, t_final = jax.vmap(
+        lambda b: C.assemble_image(b, bg, width, height, cfg))(tb)
     radii = jax.lax.stop_gradient(pre.radius).astype(jnp.int32)
+    radii = radii.reshape(n_batch, -1)
     # reference semantics (radii > 0 == survived geometric culling): the
     # opacity-aware binned rect may drop near-invisible instances from
     # binning, but they stay "visible" for max_radii2D / densify stats just
     # as in CUDA (their gradients are exactly zero either way)
-    visibility = pre.radius > 0
+    visibility = (pre.radius > 0).reshape(n_batch, -1)
     out = (image, t_final, radii, visibility, binned.num_rendered)
     return out, (binned, tile_buf, bg, t_final)
 
 
-def _rasterize_pallas_bwd(width, height, cfg, full_height, res, cot):
+def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
     binned, tile_buf, bg, t_final = res
     g_img, g_t, _g_radii, _g_vis, _g_num = cot
 
-    gbuf = _disassemble_cotangent(g_img, g_t, bg, width, height, cfg)
+    gbuf = jax.vmap(
+        lambda gi, gt: _disassemble_cotangent(gi, gt, bg, width, height, cfg)
+    )(g_img, g_t)
+    gbuf = gbuf.reshape((-1,) + gbuf.shape[2:])
     dpay = pallas_core.raster_core_pallas_bwd(
         binned, tile_buf, gbuf, width, height, cfg, interpret=_interpret())
 
@@ -147,7 +159,7 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, res, cot):
     d_conic = seg[:, C.F_CA:C.F_CC + 1]
     d_opacity = seg[:, C.F_OP:C.F_OP + 1]
     d_colors = seg[:, 8:8 + C.NUM_CHANNELS]
-    d_bg_img = jnp.einsum("chw,hw->c", g_img, t_final)
+    d_bg_img = jnp.einsum("bchw,bhw->c", g_img, t_final)
     d_bg = jnp.pad(d_bg_img, (0, bg.shape[0] - C.NUM_CHANNELS))
 
     d_depth = jnp.zeros_like(d_gx)
@@ -159,20 +171,35 @@ _rasterize_pallas.defvjp(_rasterize_pallas_fwd, _rasterize_pallas_bwd)
 
 
 def _rasterize_jnp(ndc, conic, colors, opacity, depth, valid, bg,
-                   width, height, cfg, full_height=None):
+                   width, height, cfg, full_height=None, n_batch=1):
     """CPU/debug path: chunk-scan core under plain autodiff (the binning
-    gathers' transpose handles the reduction)."""
+    gathers' transpose handles the reduction).  Same flat-in / batched-out
+    contract as the pallas path."""
     pre, binned = _prepare(ndc, conic, colors, opacity, depth, valid,
-                           width, height, cfg, full_height)
+                           width, height, cfg, full_height, n_batch)
     tile_buf = jnp_core.raster_core_jnp(binned, width, height, cfg)
-    image, t_final = C.assemble_image(tile_buf, bg, width, height, cfg)
+    t_per = binned.num_tiles // n_batch
+    tb = tile_buf.reshape(n_batch, t_per, cfg.tile_pix, C.PAD_CHANNELS)
+    image, t_final = jax.vmap(
+        lambda b: C.assemble_image(b, bg, width, height, cfg))(tb)
     radii = jax.lax.stop_gradient(pre.radius).astype(jnp.int32)
+    radii = radii.reshape(n_batch, -1)
     # reference semantics (radii > 0 == survived geometric culling): the
     # opacity-aware binned rect may drop near-invisible instances from
     # binning, but they stay "visible" for max_radii2D / densify stats just
     # as in CUDA (their gradients are exactly zero either way)
-    visibility = pre.radius > 0
+    visibility = (pre.radius > 0).reshape(n_batch, -1)
     return image, t_final, radii, visibility, binned.num_rendered
+
+
+def _rasterize_any(ndc, conic, colors, opacity, depth, valid, bg,
+                   width, height, cfg, full_height, n_batch):
+    backend = _resolve_backend(cfg)
+    if backend not in ("pallas", "jnp"):
+        raise ValueError(f"unknown rasterize backend: {backend}")
+    fn = _rasterize_pallas if backend == "pallas" else _rasterize_jnp
+    return fn(ndc, conic, colors, opacity, depth.astype(jnp.float32), valid,
+              bg, width, height, cfg, full_height, n_batch)
 
 
 def rasterize(ndc: jnp.ndarray, conic: jnp.ndarray, colors: jnp.ndarray,
@@ -199,13 +226,44 @@ def rasterize(ndc: jnp.ndarray, conic: jnp.ndarray, colors: jnp.ndarray,
       visibility [P] bool, num_rendered scalar.
     """
     cfg = cfg or C.RasterConfig()
-    backend = _resolve_backend(cfg)
-    fn = _rasterize_pallas if backend == "pallas" else _rasterize_jnp
-    if backend not in ("pallas", "jnp"):
-        raise ValueError(f"unknown rasterize backend: {backend}")
-    image, t_final, radii, visibility, num_rendered = fn(
-        ndc, conic, colors, opacity, depth.astype(jnp.float32), valid, bg,
-        width, height, cfg, full_height)
+    image, t_final, radii, visibility, num_rendered = _rasterize_any(
+        ndc, conic, colors, opacity, depth, valid, bg, width, height, cfg,
+        full_height, 1)
+    return {
+        "render": image[0],
+        "final_T": t_final[0],
+        "radii": radii[0],
+        "visibility": visibility[0],
+        "num_rendered": num_rendered,
+    }
+
+
+def rasterize_batched(ndc: jnp.ndarray, conic: jnp.ndarray,
+                      colors: jnp.ndarray, opacity: jnp.ndarray,
+                      depth: jnp.ndarray, valid: jnp.ndarray,
+                      bg: jnp.ndarray, width: int, height: int,
+                      cfg: C.RasterConfig | None = None) -> dict[str, Any]:
+    """Batched-camera splatting: every input gains a leading camera axis B
+    and all B cameras composite in ONE binning + kernel sweep over a virtual
+    grid of B * tiles (the single-chip batched train step; amortizes every
+    fixed per-call cost).  The CUDA reference is strictly 1 camera/iteration
+    (train_gaussians.py:103-105) — a GPU-loop limitation, not a contract.
+
+    Inputs: ndc [B, P, 3], conic [B, P, 3], colors [B, P, 10],
+    opacity [B, P, 1], depth [B, P], valid [B, P], bg [10].
+    Returns dict with render [B, 10, H, W], final_T [B, H, W], radii [B, P],
+    visibility [B, P], num_rendered (scalar, total across the batch —
+    capacity also scales with B, so occupancy semantics are unchanged).
+
+    NOTE: ``cfg.capacity_mult`` (and ``cfg.capacity``) are interpreted
+    per-Gaussian as usual; the instance buffer is sized against B * P rows.
+    """
+    cfg = cfg or C.RasterConfig()
+    b, p = ndc.shape[:2]
+    flat = lambda x: x.reshape((b * p,) + x.shape[2:])
+    image, t_final, radii, visibility, num_rendered = _rasterize_any(
+        flat(ndc), flat(conic), flat(colors), flat(opacity), flat(depth),
+        flat(valid), bg, width, height, cfg, None, b)
     return {
         "render": image,
         "final_T": t_final,

@@ -169,21 +169,37 @@ def preprocess(mean_pix: jnp.ndarray, conic: jnp.ndarray, depth: jnp.ndarray,
 
 def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
                   opacity: jnp.ndarray, colors: jnp.ndarray, depth: jnp.ndarray,
-                  width: int, height: int, cfg: RasterConfig) -> Binned:
+                  width: int, height: int, cfg: RasterConfig,
+                  n_batch: int = 1) -> Binned:
     """Expand Gaussians into depth-sorted, tile-grouped, chunk-aligned
     instance buffers.
 
     The gathers of (mean, conic, opacity, colors) into instance slots are the
     only differentiable operations here; their autodiff transpose is the
     deterministic scatter-add that replaces the CUDA backward's atomics.
+
+    With ``n_batch`` > 1 the [P] axis is a flattened batch of ``n_batch``
+    cameras' Gaussians (camera b owns rows [b*P/n_batch, (b+1)*P/n_batch));
+    each camera's instances get their tile ids offset by b * tiles-per-image,
+    producing one depth-sorted instance stream over a virtual grid of
+    ``n_batch * gx * gy`` tiles — the batched-camera step composites every
+    camera in a single kernel sweep.  Kernels recover camera-local tile
+    coordinates via (tile // gx) % gy.
     """
     p = pre.mean_pix.shape[0]
     cap = cfg.instance_capacity(p)
     gx_grid, gy_grid = cfg.grid(width, height)
-    num_tiles = gx_grid * gy_grid
+    num_tiles = n_batch * gx_grid * gy_grid
     ch = cfg.chunk
 
     rmin_x, rmin_y, rmax_x, rmax_y = pre.rect
+    if n_batch > 1:
+        # shift each camera's tile rows into its slice of the virtual grid
+        assert p % n_batch == 0
+        row_base = jnp.broadcast_to(
+            (jnp.arange(n_batch, dtype=jnp.int32) * gy_grid)[:, None],
+            (n_batch, p // n_batch)).reshape(p)
+        rmin_y = rmin_y + row_base
     offsets = jnp.cumsum(pre.tiles_touched) - pre.tiles_touched  # exclusive
     total = offsets[-1] + pre.tiles_touched[-1]
 

@@ -26,13 +26,15 @@ def _chunk_update(acc, pay, tile, k_in_tile, width, height, cfg):
     col = pay[8:24].T
     sg = jax.lax.stop_gradient
     pix = cfg.tile_pix
-    gx_grid, _ = cfg.grid(width, height)
+    gx_grid, gy_grid = cfg.grid(width, height)
 
     init = jnp.zeros((pix, C.PAD_CHANNELS), acc.dtype).at[:, C.CH_TRANS].set(1.0)
     acc = jnp.where(k_in_tile == 0, init, acc)
 
     tx = tile % gx_grid
-    ty = tile // gx_grid
+    # % gy_grid: camera-local row in the batched-camera virtual grid (tile
+    # ids of camera b are offset by b * gx * gy; coordinates are per-camera)
+    ty = (tile // gx_grid) % gy_grid
     i = jnp.arange(pix)
     px = (tx * cfg.tile_w + i % cfg.tile_w).astype(jnp.float32)
     py = (ty * cfg.tile_h + i // cfg.tile_w).astype(jnp.float32)

@@ -205,7 +205,7 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 bigbuf_ref, acc_in_ref, dt_in_ref,
                 out_ref, acc_out_ref, dt_out_ref,
                 acc_ref, dt_ref, flag_ref, pay_buf_ref, sems_ref, issued_ref,
-                *, cfg: C.RasterConfig, gx_grid: int):
+                *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int):
     # The running accumulators live in VMEM *scratch*, which is
     # single-buffered and persists across grid steps.  Accumulating through
     # out_ref instead is unsafe: output blocks are multi-buffered and with a
@@ -258,8 +258,11 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
         def _(j=j):
             t_in = dt_ref[:, 0:1]
             done_in = dt_ref[:, 1:2]
+            # % gy_grid: in the batched-camera virtual grid the tile id is
+            # offset by cam * gx * gy, but instance coordinates stay in each
+            # camera's own pixel frame
             tile_x0 = (tile % gx_grid) * cfg.tile_w
-            tile_y0 = (tile // gx_grid) * cfg.tile_h
+            tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
             q = _chunk_blend_quantities(
                 pay_buf_ref[slot, :8, j * sub:(j + 1) * sub], u_ref[:, :],
                 basis_ref[:, :], t_in, done_in, tile_x0, tile_y0)
@@ -305,14 +308,15 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
     crashed the TPU worker at ~10k chunks).  The output tile buffer threads
     through the segments via input_output_aliases; the in-progress tile's
     (color, T, done) state crosses the boundary in small carry arrays."""
-    gx_grid, _ = cfg.grid(width, height)
+    gx_grid, gy_grid = cfg.grid(width, height)
     tc = binned.payload.shape[0]
     ch = cfg.chunk
     pix = cfg.tile_pix
     sub = _subchunk(cfg)
     u_tri = jnp.asarray(_tri_incl(sub), dtype=_F32)
     basis = _pixel_basis(cfg)
-    kernel = functools.partial(_fwd_kernel, cfg=cfg, gx_grid=gx_grid)
+    kernel = functools.partial(_fwd_kernel, cfg=cfg, gx_grid=gx_grid,
+                               gy_grid=gy_grid)
 
     bigbuf = jnp.zeros((binned.num_tiles, pix, C.PAD_CHANNELS), _F32)
     acc_c = jnp.zeros((pix, C.PAD_CHANNELS), _F32)
@@ -367,7 +371,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 gbuf_ref, obuf_ref, carry_in_ref,
                 dpay_ref, carry_out_ref,
                 carry_ref, flag_ref, pay_buf_ref, sems_ref, issued_ref,
-                *, cfg: C.RasterConfig, gx_grid: int):
+                *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int):
     c = pl.program_id(0)
     tile = tof_ref[c]
     k = kit_ref[c]
@@ -415,8 +419,9 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             done_in = carry[:, 1:2]
             prefix_in = carry[:, 2:3]
             total = carry[:, 3:4]
+            # % gy_grid: see the forward kernel (batched-camera virtual grid)
             tile_x0 = (tile % gx_grid) * cfg.tile_w
-            tile_y0 = (tile // gx_grid) * cfg.tile_h
+            tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
             q = _chunk_blend_quantities(feat, u_ref[:, :], basis_ref[:, :],
                                         t_in, done_in, tile_x0, tile_y0)
 
@@ -491,14 +496,15 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
     """Segmented like the forward; the in-progress tile's
     (T, done, prefix, total) state crosses segment boundaries in a small
     carry array."""
-    gx_grid, _ = cfg.grid(width, height)
+    gx_grid, gy_grid = cfg.grid(width, height)
     tc = binned.payload.shape[0]
     ch = cfg.chunk
     pix = cfg.tile_pix
     sub = _subchunk(cfg)
     u_tri = jnp.asarray(_tri_incl(sub), dtype=_F32)
     basis = _pixel_basis(cfg)
-    kernel = functools.partial(_bwd_kernel, cfg=cfg, gx_grid=gx_grid)
+    kernel = functools.partial(_bwd_kernel, cfg=cfg, gx_grid=gx_grid,
+                               gy_grid=gy_grid)
 
     carry_c = jnp.zeros((pix, 8), _F32)
     dpays = []

@@ -95,8 +95,15 @@ def dp_tp_train_step(mesh: Mesh, *, active_sh_degree: int, width: int,
             dec = decode_render10(render10)
             total, parts = compute_losses(dec, gt_img, gt_mask, gt_oa, gt_oc,
                                           opt_cfg)
-            return total, (parts, out["radii"], out["visibility"],
-                           out["num_rendered"])
+            # The loss is computed REPLICATED on every tile shard, and
+            # all_gather's transpose (psum_scatter) SUMS the identical
+            # cotangents from all n_tile shards — so without this 1/n_tile
+            # the per-shard grads (and the psum'd full-camera grad below)
+            # come out n_tile x too large.  Adam hides a uniform scale, but
+            # xyz_grad_accum feeds densify_grad_threshold, which must match
+            # the single-chip reference.
+            return total / n_tile, (parts, out["radii"], out["visibility"],
+                                    out["num_rendered"])
 
         (_, (parts, radii, vis_local, num_rendered)), (gparams, gcam) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(

@@ -24,7 +24,9 @@ from gaussianhaircut_tpu.models import gaussian_model as gm
 from gaussianhaircut_tpu.ops import projection as proj
 from gaussianhaircut_tpu.ops import sh as sh_ops
 from gaussianhaircut_tpu.ops.quaternion import build_rotation, normalize
-from gaussianhaircut_tpu.ops.rasterize import RasterConfig, rasterize
+from gaussianhaircut_tpu.ops.rasterize import (
+    RasterConfig, rasterize, rasterize_batched,
+)
 
 
 class GaussianFields(NamedTuple):
@@ -109,6 +111,45 @@ def render_fields(fields: GaussianFields, active_sh_degree: int,
     out = rasterize(ndc, conic, colors, opacity, depth, valid, bg,
                     cam.width, cam.height, cfg)
     decoded = decode_render10(out["render"])
+    decoded.update({
+        "final_T": out["final_T"],
+        "visibility_filter": out["visibility"],
+        "radii": out["radii"],
+        "num_rendered": out["num_rendered"],
+    })
+    return decoded
+
+
+def render_fields_batched(fields: GaussianFields, active_sh_degree: int,
+                          make_cam, cam_idxs: jnp.ndarray, bg: jnp.ndarray,
+                          width: int, height: int,
+                          cfg: RasterConfig | None = None,
+                          viewspace_batch: jnp.ndarray | None = None) -> dict:
+    """Batched-camera render: one precompute vmap over B cameras + ONE
+    rasterize_batched sweep (single-chip batch amortization — the CUDA
+    reference is strictly 1 camera/iteration, train_gaussians.py:103-105).
+
+    ``make_cam(idx) -> CameraGeom`` builds the camera bundle inside the vmap
+    (CameraGeom's width/height are static ints, so the pytree itself can't
+    cross a vmap boundary).  ``viewspace_batch`` [B, P, 3] (optional)
+    replaces the per-Gaussian viewspace port per camera, so its gradient
+    comes back PER-CAMERA — the densify-stats contract (the reference
+    accumulates per-iteration viewspace-grad norms).
+    Returns the decoded dict with a leading [B] axis on every output.
+    """
+
+    def prep_one(idx, vs):
+        f = fields if vs is None else fields._replace(viewspace=vs)
+        return prepare_raster_inputs(f, active_sh_degree, make_cam(idx))
+
+    if viewspace_batch is None:
+        ops = jax.vmap(lambda i: prep_one(i, None))(cam_idxs)
+    else:
+        ops = jax.vmap(prep_one)(cam_idxs, viewspace_batch)
+    ndc, conic, colors, opacity, depth, valid = ops
+    out = rasterize_batched(ndc, conic, colors, opacity, depth, valid, bg,
+                            width, height, cfg)
+    decoded = jax.vmap(decode_render10)(out["render"])
     decoded.update({
         "final_T": out["final_T"],
         "visibility_filter": out["visibility"],

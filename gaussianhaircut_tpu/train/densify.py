@@ -115,12 +115,19 @@ def densify_and_prune(state: GaussianModelState, opt: AdamState, key,
     split_ok = split_sel & (base + 1 < num_free)
     new_alive = jnp.where(split_ok, False, new_alive)
 
-    # ---- prune (gaussian_model.py:723-735) ----
+    # ---- prune (gaussian_model.py:725-735) ----
+    # NOTE on big_points_vs: in the reference, densification_postfix
+    # (gaussian_model.py:675-677) re-creates max_radii2D as ZEROS before
+    # densify_and_prune's final prune reads it, so the screen-radius prune
+    # `max_radii2D > max_screen_size` never fires — dead code inherited from
+    # vanilla 3DGS.  Reproducing the live radii check here pruned every
+    # accumulated-radius>20px Gaussian each round (far more aggressive than
+    # the reference) and measurably hurt reconstruction; only the world-size
+    # prune is active when max_screen_size is set.
     prune = (get_opacity(new_params)[:, 0] < min_opacity) & new_alive
     if max_screen_size is not None:
-        big_vs = aux.max_radii2d > max_screen_size
         big_ws = jnp.max(get_scaling(new_params), axis=-1) > 0.1 * extent
-        prune = prune | ((big_vs | big_ws) & new_alive)
+        prune = prune | (big_ws & new_alive)
     new_alive = new_alive & ~prune
 
     # ---- optimizer moment surgery: fresh rows start with zero moments ----

@@ -215,6 +215,140 @@ def train_step(state: TrainState, cam_batch: CameraBatch, gt: GtBatch,
     return new_state, metrics
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "width", "height", "raster_cfg",
+                     "opt_cfg", "trainable_cameras", "trainable_intrinsics",
+                     "use_barf", "white_background", "n_batch"))
+def train_step_batched(state: TrainState, cam_batch: CameraBatch, gt: GtBatch,
+                       cam_idxs, *, active_sh_degree: int, width: int,
+                       height: int, raster_cfg: RasterConfig,
+                       opt_cfg: OptimizationConfig, trainable_cameras: bool,
+                       trainable_intrinsics: bool, use_barf: bool,
+                       white_background: bool, n_batch: int):
+    """Batched-camera train step: B cameras composited in ONE rasterizer
+    sweep (rasterize_batched), one Adam step on the camera-MEAN parameter
+    gradient.  Amortizes every fixed per-call cost (binning sort, kernel
+    launch, losses, Adam) over B views — the TPU-native replacement for the
+    reference's strictly-1-camera iteration loop (train_gaussians.py:103-105;
+    a GPU-loop limitation, not a contract).
+
+    Semantics mirror parallel/data_parallel.dp_train_step exactly (parameter
+    grads pmean-equivalent, camera-residual rows and densify statistics at
+    full per-camera strength — stats accumulate like B sequential reference
+    iterations), so the existing DP-vs-sequential parity arguments carry
+    over; `cam_idxs` [B] must be distinct within the batch (the trainer draws
+    without replacement).
+    """
+    from gaussianhaircut_tpu.models.gaussian_model import GaussianAux
+    from gaussianhaircut_tpu.render.renderer import (
+        decode_render10, fields_from_params, render_fields_batched,
+    )
+
+    bg = default_background(white_background)
+    alive = state.model.aux.alive
+    p_total = state.model.params.xyz.shape[0]
+
+    def loss_fn(params, cam_res, vs_batch):
+        def make_cam(idx):
+            return camera_geom(cam_batch.colmap_transform[idx],
+                               cam_batch.fovx[idx], cam_batch.fovy[idx],
+                               width, height, cam_res, idx,
+                               use_barf=use_barf,
+                               trainable_cameras=trainable_cameras,
+                               trainable_intrinsics=trainable_intrinsics)
+
+        fields = fields_from_params(params, alive)
+        out = render_fields_batched(fields, active_sh_degree, make_cam,
+                                    cam_idxs, bg, width, height, raster_cfg,
+                                    viewspace_batch=vs_batch)
+
+        def one_loss(render10, idx):
+            dec = decode_render10(render10)
+            return compute_losses(dec, gt.image[idx], gt.mask[idx],
+                                  gt.orient_angle[idx], gt.orient_conf[idx],
+                                  opt_cfg)
+
+        totals, parts = jax.vmap(one_loss)(out["render10"], cam_idxs)
+        # SUM over cameras: per-camera cotangents reach the viewspace port
+        # and camera-residual rows at full reference strength; parameter
+        # grads are divided by B below (the dp pmean analog)
+        return jnp.sum(totals), (parts, out["radii"],
+                                 out["visibility_filter"],
+                                 out["num_rendered"])
+
+    vs_zero = jnp.zeros((n_batch, p_total, 3), jnp.float32)
+    (_, (parts, radii, visibility, num_rendered)), (gparams, gcam, g_vs) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            state.model.params, state.cam_res, vs_zero))
+    gparams = jax.tree.map(lambda g: g / n_batch, gparams)
+
+    # densify stats: per-camera viewspace-grad norms + visibility, summed —
+    # accumulates like B sequential reference iterations (dp_train_step:84-94)
+    g_vs = jnp.where(jnp.isfinite(g_vs), g_vs, 0.0)
+    gn = jnp.sum(jnp.linalg.norm(
+        jnp.where(visibility[:, :, None], g_vs, 0.0)[:, :, :2], axis=-1),
+        axis=0)
+    vis_count = jnp.sum(visibility.astype(jnp.float32), axis=0)
+    radii_max = jnp.max(jnp.where(visibility, radii.astype(jnp.float32), 0.0),
+                        axis=0)
+    aux = state.model.aux
+    new_aux = GaussianAux(alive=aux.alive,
+                          max_radii2d=jnp.maximum(aux.max_radii2d, radii_max),
+                          xyz_grad_accum=aux.xyz_grad_accum + gn,
+                          denom=aux.denom + vis_count)
+
+    model_grads_ok = optim.grads_are_finite(
+        gparams._replace(viewspace=jnp.zeros_like(gparams.viewspace)))
+    lrs = param_lrs(opt_cfg, state.model.spatial_lr_scale, state.step)
+    updates, new_opt = optim.adam_update(gparams, state.opt, lrs)
+    # jnp.where, NOT keep * u (0 * NaN = NaN would destroy the params)
+    new_params = jax.tree.map(
+        lambda p, u: p + jnp.where(model_grads_ok, u, 0.0),
+        state.model.params, updates)
+    new_opt = jax.lax.cond(model_grads_ok, lambda: new_opt, lambda: state.opt)
+
+    # camera rows: dense-row Adam on the drawn rows (dp_train_step:107-138)
+    if trainable_cameras or trainable_intrinsics:
+        cam_ok = optim.grads_are_finite(gcam)
+        do_cam = cam_ok & (state.step < opt_cfg.iterations_cam)
+        clrs = cam_lrs(opt_cfg, state.model.spatial_lr_scale, state.step)
+        drawn = jnp.zeros(state.cam_opt.count.shape, jnp.float32)
+        drawn = drawn.at[cam_idxs].set(1.0)
+        sel = drawn * do_cam.astype(jnp.float32)
+        b1, b2, eps = 0.9, 0.999, 1e-15
+        new_count = state.cam_opt.count + sel.astype(jnp.int32)
+
+        def upd(mu, nu, g, lr, res):
+            mu2 = jnp.where(sel[:, None] > 0, b1 * mu + (1 - b1) * g, mu)
+            nu2 = jnp.where(sel[:, None] > 0, b2 * nu + (1 - b2) * g * g, nu)
+            cnt = jnp.maximum(new_count, 1).astype(jnp.float32)[:, None]
+            step_row = -lr * (mu2 / (1 - b1 ** cnt)) / (
+                jnp.sqrt(nu2 / (1 - b2 ** cnt)) + eps)
+            return mu2, nu2, res + jnp.where(sel[:, None] > 0, step_row, 0.0)
+
+        mus, nus, ress = {}, {}, {}
+        for name in CameraResiduals._fields:
+            mu, nu, res = upd(getattr(state.cam_opt.mu, name),
+                              getattr(state.cam_opt.nu, name),
+                              getattr(gcam, name), getattr(clrs, name),
+                              getattr(state.cam_res, name))
+            mus[name], nus[name], ress[name] = mu, nu, res
+        new_cam_opt = CamAdamState(CameraResiduals(**mus),
+                                   CameraResiduals(**nus), new_count)
+        new_cam_res = CameraResiduals(**ress)
+    else:
+        new_cam_opt, new_cam_res = state.cam_opt, state.cam_res
+
+    new_model = state.model.replace(params=new_params, aux=new_aux)
+    new_state = TrainState(new_model, new_opt, new_cam_res, new_cam_opt,
+                           state.step + 1)
+    metrics = {k: jnp.mean(v) for k, v in parts.items()}
+    metrics["num_rendered"] = num_rendered
+    metrics["grads_ok"] = model_grads_ok
+    return new_state, metrics
+
+
 @functools.partial(jax.jit, static_argnames=("opt_cfg", "max_screen_size"))
 def densify_step(state: TrainState, key, extent, *, opt_cfg: OptimizationConfig,
                  max_screen_size):
@@ -405,7 +539,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
           pipe_cfg: PipelineConfig, scene, *, test_iterations=(1000, 5000, 15000, 30000),
           save_iterations=(1000, 5000, 15000, 30000),
           checkpoint_iterations=(30000,), start_checkpoint=None,
-          progress_callback=None, mesh_spec: str = ""):
+          progress_callback=None, mesh_spec: str = "", camera_batch: int = 1):
     """Host-side training loop (train_gaussians.py:78-208).
 
     mesh_spec: "DATAxTILE" (e.g. "4x2") runs the multi-chip step from
@@ -413,6 +547,11 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     iteration then consumes DATA cameras (gradients averaged — a batch-size
     deviation from the reference's strictly 1 camera/iteration, documented).
     Empty = single-chip reference behavior.
+
+    camera_batch: B > 1 (single-chip only) composites B distinct cameras per
+    iteration in ONE rasterizer sweep (train_step_batched) — same gradient
+    semantics as mesh data-parallelism (camera-mean param grads, full-
+    strength per-camera densify stats), amortizing fixed per-step costs.
     """
     cams = scene.train_cameras
     assert cams, "no training cameras"
@@ -437,9 +576,16 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     stack = []
     first_iter = int(state.step)
     ema = 0.0
-    instance_cap = raster_cfg.instance_capacity(capacity)
+    # batched steps size the instance buffer against B * P rows and report
+    # num_rendered totalled over the batch — occupancy semantics unchanged
+    cap_points = capacity * max(1, camera_batch)
+    instance_cap = raster_cfg.instance_capacity(cap_points)
 
-    n_data = 1
+    n_data = max(1, camera_batch) if not mesh_spec else 1
+    if camera_batch > 1 and mesh_spec:
+        raise ValueError("camera_batch and mesh_spec are mutually exclusive")
+    if camera_batch > len(cams):
+        raise ValueError(f"camera_batch {camera_batch} > {len(cams)} cameras")
     mesh_step_cache = {}
     if mesh_spec:
         from gaussianhaircut_tpu.parallel import dp_tp_train_step, make_mesh2d
@@ -463,14 +609,39 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         poll_gui(state, model_cfg, raster_cfg, sh_deg, iteration,
                  opt_cfg.iterations)
         if len(stack) < n_data:
-            stack = list(range(len(cams)))
-            rng.shuffle(stack)
+            # extend with a fresh shuffled epoch rather than replacing, so
+            # leftover cameras are still drawn (replacing silently dropped up
+            # to n_data-1 cameras per epoch in mesh mode; ADVICE round 2)
+            new_epoch = list(range(len(cams)))
+            rng.shuffle(new_epoch)
+            stack = new_epoch + stack
 
         if mesh_spec:
             idxs = [stack.pop(rng.randrange(len(stack)))
                     for _ in range(n_data)]
             state, metrics = make_mesh_step(sh_deg, raster_cfg)(
                 state, cam_batch, gt, jnp.asarray(idxs, jnp.int32))
+        elif camera_batch > 1:
+            # distinct within the batch (train_step_batched's contract for
+            # the camera-row scatter); the epoch stack guarantees it as long
+            # as no index repeats before its epoch drains — pop via a seen-set
+            idxs, seen = [], set()
+            while len(idxs) < camera_batch:
+                i = stack.pop(rng.randrange(len(stack)))
+                if i in seen:
+                    stack.insert(0, i)  # back to the epoch tail
+                    continue
+                seen.add(i)
+                idxs.append(i)
+            state, metrics = train_step_batched(
+                state, cam_batch, gt, jnp.asarray(idxs, jnp.int32),
+                active_sh_degree=sh_deg, width=width, height=height,
+                raster_cfg=raster_cfg, opt_cfg=opt_cfg,
+                trainable_cameras=model_cfg.trainable_cameras,
+                trainable_intrinsics=model_cfg.trainable_intrinsics,
+                use_barf=model_cfg.use_barf,
+                white_background=model_cfg.white_background,
+                n_batch=camera_batch)
         else:
             cam_idx = stack.pop(rng.randrange(len(stack)))
             state, metrics = train_step(
@@ -515,7 +686,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                       "(recompiles the train step)")
                 raster_cfg = dataclasses.replace(raster_cfg,
                                                  capacity_mult=new_mult)
-                instance_cap = raster_cfg.instance_capacity(capacity)
+                instance_cap = raster_cfg.instance_capacity(cap_points)
 
         if logger and iteration % 10 == 0:
             m = {k: float(v) for k, v in metrics.items()}

