@@ -18,9 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REFERENCE_ITERS_PER_SEC = 15.0
+# 1M@1080p headline bar (VERDICT r2 target: >= 2 it/s; the reference
+# publishes no numbers at this scale)
+REFERENCE_ITERS_PER_SEC_1M = 2.0
 
 
-def main():
+def run_config(p, width, height, iters, *, is_headline=False):
     import jax
     import jax.numpy as jnp
     from gaussianhaircut_tpu.config import OptimizationConfig
@@ -29,11 +32,6 @@ def main():
     from gaussianhaircut_tpu.models import gaussian_model as gm
     from gaussianhaircut_tpu.scene.cameras import CameraBatch, CameraStatic
     from gaussianhaircut_tpu.train.stage1 import GtBatch, init_train_state
-
-    p = int(os.environ.get("BENCH_P", 100_000))
-    width = int(os.environ.get("BENCH_W", 960))
-    height = int(os.environ.get("BENCH_H", 544))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
 
     rng = np.random.default_rng(0)
     pts = rng.normal(scale=0.3, size=(p, 3)).astype(np.float32)
@@ -115,24 +113,53 @@ def main():
     loss = float(metrics["total"])
     num_rendered = int(metrics["num_rendered"])
     cap = raster_cfg.instance_capacity(p)
+    # occupancy re-check AFTER the timed loop: num_rendered can grow over the
+    # timed iterations even densification-free (params move), silently
+    # reintroducing truncation (ADVICE r2) — flag it in the JSON
+    overflow = num_rendered > cap
     print(f"# final loss={loss:.5g} grads_ok={ok} num_rendered={num_rendered} "
           f"capacity={cap} occupancy={num_rendered / cap:.2f}", file=sys.stderr)
+    if overflow:
+        print(f"# WARNING: final num_rendered exceeded capacity — timed run "
+              f"truncated instances, treat value as invalid", file=sys.stderr)
     if not ok or not np.isfinite(loss):
         print(json.dumps({"metric": "stage1 train iters/sec (INVALID: "
                           "non-finite gradients)", "value": 0.0,
                           "unit": "iters/sec", "vs_baseline": 0.0}))
         return
 
+    ref = (REFERENCE_ITERS_PER_SEC_1M if is_headline
+           else REFERENCE_ITERS_PER_SEC)
     print(json.dumps({
         "metric": f"stage1 train iters/sec ({p} gaussians, {width}x{height})",
         "value": round(its, 3),
         "unit": "iters/sec",
-        "vs_baseline": round(its / REFERENCE_ITERS_PER_SEC, 3),
+        "vs_baseline": round(its / ref, 3),
         "mpix_per_sec": round(its * width * height / 1e6, 3),
         "num_rendered": num_rendered,
         "instance_capacity": cap,
-        "overflow": num_rendered > cap,
-    }))
+        "overflow": overflow,
+    }), flush=True)
+
+
+def main():
+    import jax
+
+    p = int(os.environ.get("BENCH_P", 100_000))
+    width = int(os.environ.get("BENCH_W", 960))
+    height = int(os.environ.get("BENCH_H", 544))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    # the BASELINE.json headline config (1M-Gaussian strand-scale fit at
+    # 1080p) runs FIRST as its own JSON line on real accelerators; the 100k
+    # line stays LAST (the driver's primary metric, comparable across
+    # rounds).  Skipped on CPU and when the caller pins a custom config.
+    custom = any(k in os.environ for k in ("BENCH_P", "BENCH_W", "BENCH_H"))
+    on_accel = jax.default_backend() not in ("cpu",)
+    if on_accel and not custom and not os.environ.get("BENCH_SKIP_1M"):
+        run_config(1_000_000, 1920, 1080,
+                   int(os.environ.get("BENCH_ITERS_1M", 8)), is_headline=True)
+    run_config(p, width, height, iters)
 
 
 if __name__ == "__main__":

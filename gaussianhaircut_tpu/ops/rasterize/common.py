@@ -52,6 +52,14 @@ class RasterConfig:
     capacity_mult: int = 8
     backend: str = "auto"           # auto | pallas | jnp
     cumsum_method: str = "matmul"   # matmul | scan (kernel-internal prefix op)
+    sort_mode: str = "packed"       # packed | exact: "packed" quantizes depth
+                                    # into one (tile | depth-bits) i32 key (2
+                                    # sort operands instead of 3); ties at the
+                                    # quantized precision break by gid exactly
+                                    # like the CUDA stable radix sort's
+                                    # expansion order.  "exact" keeps the full
+                                    # f32 depth key (3 operands, the CUDA
+                                    # bit-exact ordering).
     segment_chunks: int = 4096      # chunks per pallas_call segment: bounds
                                     # the SMEM scalar-prefetch arrays (a
                                     # single call crashed the worker at ~10k
@@ -223,21 +231,41 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x, num_tiles).astype(jnp.int32)
 
     # --- the radix sort: (tile, depth, gid) lexicographic, like the stable
-    # CUDA sort on (tile << 32 | depth-bits).  gid as the third KEY both
+    # CUDA sort on (tile << 32 | depth-bits).  gid as the trailing KEY both
     # totally orders the instances (a gaussian appears at most once per tile,
     # and the CUDA stable order for equal (tile, depth) is expansion order =
     # gid order) and makes gid directly available per sorted position —
     # recovering it afterwards (gid[orig_sorted[src]]) cost ~5 ms of chained
-    # element gathers at bench scale ---
+    # element gathers at bench scale.
+    #
+    # sort_mode="packed": tile and depth share ONE i32 key — tile in the top
+    # ceil(log2(num_tiles+1)) bits, the remaining bits hold the high bits of
+    # the depth's f32 bit pattern (monotone for positive floats; depth >
+    # NEAR_Z > 0 by the preprocess cull).  Sort operands drop 3 -> 2, which
+    # is most of the sort's cost on TPU; depths equal at the quantized
+    # precision (>= 20 mantissa+exponent bits here) tie-break by gid, the
+    # same deterministic order the CUDA stable radix gives exact ties. ---
     inst_depth = jnp.where(inst_valid, depth[gid], jnp.inf).astype(jnp.float32)
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tile_id, inst_depth, gid), num_keys=3)
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    if cfg.sort_mode == "packed" and tile_bits <= 11:
+        depth_bits = 31 - tile_bits
+        # positive f32 -> monotone nonneg i32; inf maps to the max bucket
+        dq = jax.lax.bitcast_convert_type(inst_depth, jnp.int32) >> (31 - depth_bits)
+        dq = jnp.clip(dq, 0, (1 << depth_bits) - 1)
+        key = tile_id * (1 << depth_bits) + dq
+        key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=2)
+        tile_sorted = key_sorted >> depth_bits
+        search_keys = jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits
+        bounds = jnp.searchsorted(key_sorted, search_keys)
+    else:
+        tile_sorted, _, gid_sorted = jax.lax.sort(
+            (tile_id, inst_depth, gid), num_keys=3)
+        bounds = jnp.searchsorted(tile_sorted,
+                                  jnp.arange(num_tiles + 1, dtype=jnp.int32))
 
     # --- identifyTileRanges -> chunk-aligned layout ---
-    # per-tile counts from the SORTED tile ids via binary search (a scatter
+    # per-tile counts from the SORTED keys via binary search (a scatter
     # histogram here costs ~20ms on TPU; two searchsorted passes are ~free)
-    bounds = jnp.searchsorted(tile_sorted,
-                              jnp.arange(num_tiles + 1, dtype=jnp.int32))
     counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
     tile_start = bounds[:-1].astype(jnp.int32)                     # packed starts
     nchunks = jnp.maximum(1, -(-counts // ch))

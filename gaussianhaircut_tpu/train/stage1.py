@@ -411,11 +411,16 @@ def _eval_one(params, alive, cam_res, colmap_t, fovx, fovy, idx,
 
 def evaluate(state: TrainState, cams, cam_batch: CameraBatch, gt: GtBatch,
              indices, *, active_sh_degree, width, height, raster_cfg,
-             model_cfg, name="test"):
+             model_cfg, name="test", logger=None, iteration=0,
+             log_gt=False):
     """In-training eval over a camera set: mean L1 / mask-L1 / orient / PSNR
-    (the training_report loop, train_gaussians.py:241-287)."""
+    (the training_report loop, train_gaussians.py:241-287).  With ``logger``,
+    the first <=5 views' render/mask/orient images go to the image log
+    (train_gaussians.py:264-272; GT grids once, when ``log_gt``)."""
+    from gaussianhaircut_tpu.utils.image import vis_orient
+
     totals = np.zeros(4)
-    for i in indices:
+    for vi, i in enumerate(indices):
         idx = jnp.asarray(i)
         totals += np.asarray(jax.device_get(_eval_one(
             state.model.params, state.model.aux.alive, state.cam_res,
@@ -427,9 +432,62 @@ def evaluate(state: TrainState, cams, cam_batch: CameraBatch, gt: GtBatch,
             trainable_cameras=model_cfg.trainable_cameras,
             trainable_intrinsics=model_cfg.trainable_intrinsics,
             white_background=model_cfg.white_background)))
+        if logger is not None and vi < 5:
+            img, mask, angle, oconf = jax.device_get(_render_for_log(
+                state.model.params, state.model.aux.alive, state.cam_res,
+                cam_batch.colmap_transform[idx], cam_batch.fovx[idx],
+                cam_batch.fovy[idx], idx,
+                active_sh_degree=active_sh_degree, width=width, height=height,
+                raster_cfg=raster_cfg, use_barf=model_cfg.use_barf,
+                trainable_cameras=model_cfg.trainable_cameras,
+                trainable_intrinsics=model_cfg.trainable_intrinsics,
+                white_background=model_cfg.white_background))
+            vn = cams[i].image_name
+            conf_vis = (1.0 - 1.0 / (oconf + 1.0)) * mask[:1]
+            logger.images(
+                iteration,
+                **{f"{name}_view_{vn}/render": img,
+                   f"{name}_view_{vn}/render_mask": mask,
+                   f"{name}_view_{vn}/render_orient":
+                       vis_orient(angle, mask[:1]),
+                   f"{name}_view_{vn}/render_orient_conf":
+                       vis_orient(angle, conf_vis)})
+            if log_gt:
+                gt_conf_vis = np.asarray(
+                    (1.0 - 1.0 / (gt.orient_conf[i] + 1.0)) * gt.mask[i][:1])
+                logger.images(
+                    iteration,
+                    **{f"{name}_view_{vn}/ground_truth": np.asarray(gt.image[i]),
+                       f"{name}_view_{vn}/ground_truth_mask": np.asarray(gt.mask[i]),
+                       f"{name}_view_{vn}/ground_truth_orient":
+                           vis_orient(np.asarray(gt.orient_angle[i]),
+                                      np.asarray(gt.mask[i][:1])),
+                       f"{name}_view_{vn}/ground_truth_orient_conf":
+                           vis_orient(np.asarray(gt.orient_angle[i]),
+                                      gt_conf_vis)})
     totals /= max(len(indices), 1)
     return {f"{name}_l1": totals[0], f"{name}_ce": totals[1],
             f"{name}_or": totals[2], f"{name}_psnr": totals[3]}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("active_sh_degree", "width", "height", "raster_cfg",
+                     "use_barf", "trainable_cameras", "trainable_intrinsics",
+                     "white_background"))
+def _render_for_log(params, alive, cam_res, colmap_t, fovx, fovy, idx, *,
+                    active_sh_degree, width, height, raster_cfg, use_barf,
+                    trainable_cameras, trainable_intrinsics,
+                    white_background):
+    cam = camera_geom(colmap_t, fovx, fovy, width, height, cam_res, idx,
+                      use_barf=use_barf, trainable_cameras=trainable_cameras,
+                      trainable_intrinsics=trainable_intrinsics)
+    out = render(params, alive, active_sh_degree, cam,
+                 default_background(white_background), raster_cfg)
+    return (jnp.clip(out["render"], 0.0, 1.0),
+            jnp.clip(out["mask"], 0.0, 1.0),
+            jnp.clip(out["orient_angle"], 0.0, 1.0),
+            out["orient_conf"])
 
 
 def save_checkpoint(state: TrainState, path: str) -> None:
@@ -699,8 +757,10 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             progress_callback(iteration, state, metrics)
 
         if iteration in test_iterations:
-            # training_report (train_gaussians.py:241-287): test split + a
-            # fixed sample of train views
+            # training_report (train_gaussians.py:241-293): test split + a
+            # fixed sample of train views, image grids for the first <=5
+            # views, opacity/label histograms, total_points
+            first_test = iteration == min(test_iterations)
             report = {}
             if scene.test_cameras and scene.test_cameras[0].image is not None:
                 test_batch = CameraBatch.from_cameras(scene.test_cameras)
@@ -710,16 +770,26 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     range(len(scene.test_cameras)), active_sh_degree=sh_deg,
                     width=scene.test_cameras[0].width,
                     height=scene.test_cameras[0].height,
-                    raster_cfg=raster_cfg, model_cfg=model_cfg, name="test"))
+                    raster_cfg=raster_cfg, model_cfg=model_cfg, name="test",
+                    logger=logger, iteration=iteration, log_gt=first_test))
             train_sample = [i % len(cams) for i in range(5, 30, 5)]
             report.update(evaluate(
                 state, cams, cam_batch, gt, train_sample,
                 active_sh_degree=sh_deg, width=width, height=height,
-                raster_cfg=raster_cfg, model_cfg=model_cfg, name="train"))
+                raster_cfg=raster_cfg, model_cfg=model_cfg, name="train",
+                logger=logger, iteration=iteration, log_gt=first_test))
             msg = "  ".join(f"{k} {v:.5f}" for k, v in report.items())
             print(f"\n[ITER {iteration}] Evaluating: {msg}")
             if logger:
-                logger.scalars(iteration, **report)
+                logger.scalars(iteration, **report,
+                               total_points=float(state.model.num_alive()))
+                alive_np = np.asarray(state.model.aux.alive)
+                logger.histogram(
+                    iteration, "scene/opacity_histogram",
+                    np.asarray(gm.get_opacity(state.model.params))[alive_np])
+                logger.histogram(
+                    iteration, "scene/label_histogram",
+                    np.asarray(gm.get_label(state.model.params))[alive_np])
 
         if iteration in save_iterations and model_cfg.model_path:
             out_dir = os.path.join(model_cfg.model_path,

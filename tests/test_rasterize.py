@@ -341,3 +341,40 @@ def test_batched_matches_per_camera(cfg, backend):
             np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b),
                                        rtol=1e-2, atol=1e-4, err_msg=name)
     assert int(out_b["num_rendered"]) == total_rendered
+
+
+@pytest.mark.parametrize("backend", ["jnp"])
+def test_packed_sort_matches_exact(scene, cfg, backend):
+    """sort_mode='packed' (one (tile|depth-bits) i32 key) == 'exact' (3-key
+    f32-depth sort): same image, final_T and gradients on a random scene
+    (bucket collisions are tie-broken by gid, the same order exact gives
+    exactly-equal depths)."""
+    mean, conic, colors, opac, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean)
+
+    outs = {}
+    for mode in ("packed", "exact"):
+        c = RasterConfig(**{**cfg.__dict__, "backend": backend,
+                            "sort_mode": mode})
+
+        def loss(ndc_, conic_, colors_, opac_):
+            out = rasterize(ndc_, conic_, colors_, opac_, jnp.asarray(depth),
+                            jnp.asarray(valid), jnp.asarray(bg), W, H, c)
+            return jnp.sum(out["render"] ** 2), out
+
+        (_, out), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                         has_aux=True)(
+            jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+            jnp.asarray(opac))
+        outs[mode] = (out, g)
+
+    op, gp = outs["packed"]
+    oe, ge = outs["exact"]
+    np.testing.assert_allclose(np.asarray(op["render"]),
+                               np.asarray(oe["render"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(op["final_T"]),
+                               np.asarray(oe["final_T"]), rtol=1e-5, atol=1e-6)
+    assert int(op["num_rendered"]) == int(oe["num_rendered"])
+    for a, b in zip(gp, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

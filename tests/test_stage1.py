@@ -175,3 +175,58 @@ def test_overflow_auto_recovery(tmp_path):
     assert "instance buffer overflow" in out
     assert "growing instance_capacity_mult" in out
     assert bool(jnp.isfinite(state.model.params.xyz).all())
+
+
+def test_logger_images_and_histograms(tmp_path):
+    """The observability surface (train_gaussians.py:264-293): image grids
+    land as PNGs, histograms land in the JSONL with quantile summaries."""
+    import json as _json
+
+    from gaussianhaircut_tpu.utils.logger import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path))
+    img = np.random.default_rng(0).uniform(size=(3, 8, 8)).astype(np.float32)
+    lg.images(5, **{"test_view_0/render": img,
+                    "test_view_0/render_mask": img[:2]})
+    lg.histogram(5, "scene/opacity_histogram", np.linspace(0, 1, 100))
+    lg.close()
+    pngs = sorted((tmp_path / "images").glob("*.png"))
+    assert len(pngs) == 2, pngs
+    recs = [_json.loads(l) for l in
+            (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    hist = [r for r in recs if r.get("histogram")]
+    assert hist and hist[0]["count"] == 100
+    assert abs(hist[0]["quantiles"][3] - 0.5) < 0.02
+
+
+def test_train_loop_logs_images(tmp_path):
+    """A tiny train() with a model_path + test iteration writes render PNGs
+    and histogram records."""
+    from gaussianhaircut_tpu.config import (ModelConfig, OptimizationConfig,
+                                            PipelineConfig)
+    from gaussianhaircut_tpu.scene.dataset import SceneData
+
+    res = 64
+    cams, pts, cols = make_toy_scene(n_views=3, res=res, n_pts=100)
+    for cam, out in zip(cams, render_gt_images(cams, pts, cols, res)):
+        cam.image = np.asarray(out["render"])
+        cam.mask_hair = np.asarray(out["mask"][:1])
+        cam.mask_body = np.clip(np.asarray(out["mask"][1:]), 0, 1)
+        cam.orient_angle = np.asarray(out["orient_angle"])
+        cam.orient_conf = np.ones_like(cam.orient_angle)
+    scene = SceneData(train_cameras=cams, test_cameras=[], points=pts,
+                      colors=np.full_like(cols, 0.5), cameras_extent=2.75)
+    mp = str(tmp_path / "model")
+    model_cfg = ModelConfig(sh_degree=1, model_path=mp)
+    opt_cfg = OptimizationConfig(iterations=3, densify_from_iter=100,
+                                 densify_until_iter=0, lambda_dorient=0.1)
+    pipe_cfg = PipelineConfig(raster_backend="jnp", tile=16,
+                              instance_capacity_mult=24, gaussian_capacity=256)
+    stage1.train(model_cfg, opt_cfg, pipe_cfg, scene,
+                 test_iterations=(2,), save_iterations=(),
+                 checkpoint_iterations=())
+    import pathlib
+    pngs = list(pathlib.Path(mp, "images").glob("train_view_*render_*.png"))
+    assert pngs, "render image grids must be written at test iterations"
+    recs = pathlib.Path(mp, "metrics.jsonl").read_text()
+    assert "opacity_histogram" in recs and "label_histogram" in recs
