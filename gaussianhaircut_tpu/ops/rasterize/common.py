@@ -52,6 +52,10 @@ class RasterConfig:
     capacity_mult: int = 8
     backend: str = "auto"           # auto | pallas | jnp
     cumsum_method: str = "matmul"   # matmul | scan (kernel-internal prefix op)
+    bwd_matmul: str = "highest"     # highest | bf16x2: backward u/moments/
+                                    # d_colT matmuls as 3-pass hi+lo-split
+                                    # bf16 (see pallas_core._dot_split2)
+                                    # instead of HIGHEST's 6 passes
     sort_mode: str = "packed"       # packed | exact: "packed" quantizes depth
                                     # into one (tile | depth-bits) i32 key (2
                                     # sort operands instead of 3); ties at the
@@ -212,8 +216,15 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     total = offsets[-1] + pre.tiles_touched[-1]
 
     # --- duplicateWithKeys (rasterizer_impl.cu:70-111), static capacity ---
-    gid = jnp.repeat(jnp.arange(p, dtype=jnp.int32), pre.tiles_touched,
-                     total_repeat_length=cap)
+    # expansion via scatter-max + cummax instead of jnp.repeat (repeat's
+    # searchsorted-style lowering cost ~4.7 ms at bench scale; one scatter of
+    # [P] starts + one [cap] cummax is ~4x cheaper).  Gaussians with zero
+    # tiles_touched share their offset with the next real one — scatter-MAX
+    # resolves the collision to the owning (largest) index.
+    iota_p = jnp.arange(p, dtype=jnp.int32)
+    base = jnp.zeros(cap, jnp.int32).at[offsets.astype(jnp.int32)].max(
+        iota_p, mode="drop")
+    gid = jax.lax.cummax(base)
     inst_valid = jnp.arange(cap, dtype=jnp.int32) < total
     # one fused row-gather instead of five per-column gathers (per-instance
     # gathers dominate binning time on TPU)
@@ -279,30 +290,43 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
 
     # Per-CHUNK bookkeeping gathered from tiny [T]-tables and broadcast to
     # slots — per-SLOT gathers of the same data cost ~5 ms at bench scale
-    # (S-sized random row gathers are the dominant binning cost on TPU).
+    # (S-sized random ELEMENT gathers are the dominant binning cost on TPU).
     cinfo = jnp.stack([counts, tile_start], axis=-1)[tile_of_chunk]  # [TC, 2]
     lane = jnp.arange(ch, dtype=jnp.int32)[None, :]
     off_in_tile = chunk_in_tile[:, None] * ch + lane                 # [TC, CH]
     slot_ok = off_in_tile < cinfo[:, 0:1]
-    src = jnp.where(slot_ok, cinfo[:, 1:2] + off_in_tile, cap - 1)
 
-    gid_raw = gid_sorted[src.reshape(-1)]                            # [S]
-    ok_flat = slot_ok.reshape(-1)
-    gid_slot = jnp.where(ok_flat, gid_raw, p).astype(jnp.int32)
-
-    # --- gather per-instance payload (differentiable, ONE row-gather of the
-    # full 24-wide row: mean(2) conic(3) opacity(1) one(1) zero(1) colors(10)
-    # pad(6) — splitting this into feat/color gathers costs ~2x) ---
-    safe_gid = jnp.minimum(gid_slot, p - 1)
-    okf = ok_flat.astype(jnp.float32)
+    # --- slot materialization via CONTIGUOUS chunk slices ---
+    # One random [cap]-row gather builds the depth-sorted payload (+ the
+    # source gid bitcast into a 25th column), then every chunk fetches a
+    # contiguous ch-row window at tile_start + k*ch (vmapped dynamic_slice =
+    # a large-slice gather, ~10x cheaper than the per-slot element gather
+    # gid_sorted[src] it replaces).  A chunk's masked tail reads the next
+    # tile's rows; slot_ok zeroes them (payload) / marks them P (gid), so
+    # both value and autodiff-transpose contributions vanish.
     pack24 = jnp.concatenate([
         mean_pix, conic, opacity,
         jnp.ones((p, 1), mean_pix.dtype), jnp.zeros((p, 1), mean_pix.dtype),
         colors,
         jnp.zeros((p, PAD_CHANNELS - colors.shape[1]), mean_pix.dtype),
     ], axis=-1)                                                      # [P, 24]
-    payload = pack24[safe_gid] * okf[:, None]                        # [S, 24]
-    payload = payload.reshape(total_chunks, ch, 24).swapaxes(1, 2)   # [TC, 24, CH]
+    safe_sorted_gid = jnp.minimum(gid_sorted, p - 1)
+    sorted_rows = jnp.concatenate([
+        pack24[safe_sorted_gid],
+        # bitcast, NOT float-cast: any i32 bit pattern must round-trip
+        jax.lax.bitcast_convert_type(gid_sorted, jnp.float32)[:, None],
+    ], axis=1)                                                       # [cap, 25]
+    sorted_rows = jnp.pad(sorted_rows, ((0, ch), (0, 0)))            # overrun pad
+    starts = jnp.minimum(cinfo[:, 1] + chunk_in_tile * ch, cap)
+    slices = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sorted_rows, (s, 0), (ch, 25))
+    )(starts)                                                        # [TC, ch, 25]
+    payload = (slices[:, :, :24]
+               * slot_ok[:, :, None].astype(jnp.float32)).swapaxes(1, 2)
+    gid_slot = jnp.where(
+        slot_ok,
+        jax.lax.bitcast_convert_type(slices[:, :, 24], jnp.int32),
+        p).astype(jnp.int32).reshape(-1)
 
     # chunks past the last real one (static capacity headroom) are marked -1
     # AFTER the slot math: the kernels treat them as permanently skipped

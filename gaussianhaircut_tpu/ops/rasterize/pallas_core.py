@@ -97,6 +97,30 @@ def _coef_matrix(feat, tile_x0, tile_y0):
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _split2(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_split2(a, b, dims=None):
+    """f32 matmul as THREE bf16 MXU passes on hi+lo splits of BOTH operands
+    (hi*hi + hi*lo + lo*hi; lo*lo is ~2^-32 relative, below f32 rounding).
+    ~1e-5 relative per product vs HIGHEST's 6-pass ~6e-8 — fine for the
+    backward's u/moments/d_colT gradient matmuls (parity-gated on hardware:
+    grad p99.9 stays under the 5e-3 gate; plain bf16's 4e-3 per-product
+    error failed it at 2.2e-2), NOT for the forward `power` matmul whose
+    absolute error feeds exp()."""
+    ah, al = _split2(a)
+    bh, bl = _split2(b)
+    if dims is None:
+        d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    else:
+        d = lambda x, y: jax.lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _prefix_matmul_f32(x, u_tri_f32):
     """Inclusive prefix sum of x [PIX, SUB] along SUB via a triangular-ones
     matmul, computed as TWO bf16 MXU passes on a hi+lo split of x.
@@ -426,8 +450,11 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                                         t_in, done_in, tile_x0, tile_y0)
 
             # u[pix, i] = sum_ch g[pix, ch] * colT[ch, i]
-            u = jnp.dot(g, colT, preferred_element_type=_F32,
-                        precision=_HI)                              # [PIX, SUB]
+            if cfg.bwd_matmul == "bf16x2":
+                u = _dot_split2(g, colT)                            # [PIX, SUB]
+            else:
+                u = jnp.dot(g, colT, preferred_element_type=_F32,
+                            precision=_HI)                          # [PIX, SUB]
             uw = u * q["w"]
             prefix_incl = prefix_in + _prefix_matmul_f32(uw, u_ref[:, :])
             a_suffix = total - prefix_incl
@@ -440,10 +467,13 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             d_op = jnp.sum(dalpha * q["expp"], axis=0, keepdims=True)
 
             # moments are in tile-local pixel coords, matching the local basis
-            moments = jax.lax.dot_general(m, basis_ref[:, :],
-                                          (((0,), (0,)), ((), ())),
-                                          preferred_element_type=_F32,
-                                          precision=_HI)            # [SUB, 8]
+            mdims = (((0,), (0,)), ((), ()))
+            if cfg.bwd_matmul == "bf16x2":
+                moments = _dot_split2(m, basis_ref[:, :], mdims)    # [SUB, 8]
+            else:
+                moments = jax.lax.dot_general(m, basis_ref[:, :], mdims,
+                                              preferred_element_type=_F32,
+                                              precision=_HI)        # [SUB, 8]
             mxx = moments[:, 0][None, :]
             myy = moments[:, 1][None, :]
             mxy = moments[:, 2][None, :]
@@ -470,9 +500,12 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             d_c = -0.5 * s_dy2
             zero = jnp.zeros_like(d_gx)
             # dL/d(colT) [16, SUB] = g^T @ w
-            d_colT = jax.lax.dot_general(
-                g, q["w"], (((0,), (0,)), ((), ())),
-                preferred_element_type=_F32, precision=_HI)
+            if cfg.bwd_matmul == "bf16x2":
+                d_colT = _dot_split2(g, q["w"], (((0,), (0,)), ((), ())))
+            else:
+                d_colT = jax.lax.dot_general(
+                    g, q["w"], (((0,), (0,)), ((), ())),
+                    preferred_element_type=_F32, precision=_HI)
             dpay_ref[0, :, sl] = jnp.concatenate(
                 [d_gx, d_gy, d_a, d_b, d_c, d_op, zero, zero, d_colT],
                 axis=0)                                             # [24, SUB]

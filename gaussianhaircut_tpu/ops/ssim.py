@@ -1,14 +1,19 @@
 """SSIM with an 11x11 sigma-1.5 Gaussian window (reference: loss_utils.py:81-121).
 
-Implemented with two separable 1D depthwise convolutions instead of the
-reference's dense 2D conv — same result, and the (C, H, W) layout keeps W in
-lanes for the VPU.
+Implemented as two banded-matrix MATMULS (one per image axis) instead of the
+reference's dense 2D conv: a depthwise C=3 convolution lowers to a near-scalar
+path on TPU (measured 8.3 ms fwd+bwd of a 10.6 ms loss stack at 960x544),
+while the equivalent [H, H]/[W, W] band matmuls ride the MXU (~0.3 ms).  The
+band matrix's truncated rows ARE the SAME zero-padding semantics
+(F.conv2d(padding=window//2)).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
-from jax import lax
 
 
 def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
@@ -17,35 +22,41 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable Gaussian blur of [C, H, W] with SAME zero padding
-    (matches F.conv2d(padding=window//2))."""
-    c = img.shape[0]
-    x = img[None]  # [1, C, H, W]
-    kh = win.reshape(1, 1, -1, 1)
-    kw = win.reshape(1, 1, 1, -1)
-    dn = lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
-    pad_h = win.shape[0] // 2
-    x = lax.conv_general_dilated(x, jnp.tile(kh, (c, 1, 1, 1)),
-                                 window_strides=(1, 1),
-                                 padding=((pad_h, pad_h), (0, 0)),
-                                 dimension_numbers=dn, feature_group_count=c)
-    x = lax.conv_general_dilated(x, jnp.tile(kw, (c, 1, 1, 1)),
-                                 window_strides=(1, 1),
-                                 padding=((0, 0), (pad_h, pad_h)),
-                                 dimension_numbers=dn, feature_group_count=c)
-    return x[0]
+@functools.lru_cache(maxsize=16)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """[n, n] banded blur matrix: B[i, j] = win[j - i + w//2] for
+    |j - i| <= w//2 (rows truncate at the edges = zero padding)."""
+    win = _gaussian_window(window_size, sigma)
+    half = window_size // 2
+    b = np.zeros((n, n), np.float32)
+    for k in range(-half, half + 1):
+        b += np.diag(np.full(n - abs(k), win[k + half], np.float32), k)
+    return b
+
+
+def _blur(img: jnp.ndarray, window_size: int = 11,
+          sigma: float = 1.5) -> jnp.ndarray:
+    """Separable Gaussian blur of [C, H, W] with SAME zero padding, as two
+    band matmuls (contract H, then W).  HIGHEST precision: exact-enough
+    accumulation (the window sums to 1; bf16 default would inject 4e-3
+    relative noise into the SSIM gradient)."""
+    c, h, w = img.shape
+    bh = jnp.asarray(_band_matrix(h, window_size, sigma))
+    bw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    x = jnp.einsum("chw,hk->ckw", img, bh,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ckw,wj->ckj", x, bw,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM over [C, H, W] images in [0, 1]."""
-    win = jnp.asarray(_gaussian_window(window_size, 1.5))
-    mu1 = _blur(img1, win)
-    mu2 = _blur(img2, win)
+    mu1 = _blur(img1, window_size)
+    mu2 = _blur(img2, window_size)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, win) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, win) - mu2_sq
-    sigma12 = _blur(img1 * img2, win) - mu1_mu2
+    sigma1_sq = _blur(img1 * img1, window_size) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window_size) - mu2_sq
+    sigma12 = _blur(img1 * img2, window_size) - mu1_mu2
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

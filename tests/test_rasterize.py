@@ -378,3 +378,32 @@ def test_packed_sort_matches_exact(scene, cfg, backend):
     for a, b in zip(gp, ge):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_bwd_matmul_bf16x2_close_to_highest(scene, cfg):
+    """bwd_matmul='bf16x2' (3-pass split-operand backward matmuls) stays
+    within gradient tolerance of HIGHEST.  Interpret-mode check of the
+    wiring + numerics; the on-hardware gate is tools/tpu_parity_check.py."""
+    mean, conic, colors, opac, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean)
+
+    grads = {}
+    for mode in ("highest", "bf16x2"):
+        c = RasterConfig(**{**cfg.__dict__, "backend": "pallas",
+                            "bwd_matmul": mode})
+
+        def loss(ndc_, conic_, colors_, opac_):
+            out = rasterize(ndc_, conic_, colors_, opac_, jnp.asarray(depth),
+                            jnp.asarray(valid), jnp.asarray(bg), W, H, c)
+            return jnp.sum(out["render"] ** 2)
+
+        grads[mode] = jax.grad(loss, argnums=(0, 1, 2, 3))(
+            jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+            jnp.asarray(opac))
+
+    for a, b, name in zip(grads["bf16x2"], grads["highest"],
+                          ["ndc", "conic", "colors", "opacity"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
+                                   err_msg=name)

@@ -41,9 +41,17 @@ depth_j, valid_j, bg_j = jd(depth), jd(valid), jd(bg)
 gw = jnp.asarray(rng.normal(size=(10, H, W)), jnp.float32)
 
 
+BWD_MATMUL = os.environ.get("PAR_BWD_MATMUL", "highest")
+SORT_MODE = os.environ.get("PAR_SORT", "packed")
+
+
 def make(backend):
+    # the jnp oracle always runs the exact/highest path; the pallas side
+    # takes the knobs under test
     cfg = RasterConfig(backend=backend, tile_w=TILE, tile_h=TILE, chunk=CHUNK,
-                       capacity_mult=8)
+                       capacity_mult=8,
+                       bwd_matmul=BWD_MATMUL if backend == "pallas" else "highest",
+                       sort_mode=SORT_MODE if backend == "pallas" else "exact")
 
     def loss(ndc, conic, colors, opacity):
         out = rasterize(ndc, conic, colors, opacity, depth_j, valid_j, bg_j,
@@ -57,7 +65,7 @@ def make(backend):
 (vp, (imp, tp)), gp = jax.block_until_ready(make("pallas")(*args))
 (vj, (imj, tj)), gj = jax.block_until_ready(make("jnp")(*args))
 
-print(f"P={P} {W}x{H} tile={TILE} chunk={CHUNK}")
+print(f"P={P} {W}x{H} tile={TILE} chunk={CHUNK} bwd_matmul={BWD_MATMUL} sort={SORT_MODE}")
 ok = True
 # Thresholds are calibrated to the measured compiled-vs-jnp noise floor of
 # the UNMODIFIED round-1 kernels on this exact scene (2026-08-16,
