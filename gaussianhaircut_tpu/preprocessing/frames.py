@@ -21,7 +21,8 @@ import numpy as np
 
 
 def sharpness_iqa(img_rgb: np.ndarray) -> float:
-    """Default no-reference quality score (higher is better)."""
+    """Legacy no-reference quality score (higher is better); see
+    preprocessing/iqa.py for the better default tiers."""
     import cv2
     gray = cv2.cvtColor(img_rgb, cv2.COLOR_RGB2GRAY)
     lap = cv2.Laplacian(gray.astype(np.float32), cv2.CV_32F)
@@ -30,10 +31,15 @@ def sharpness_iqa(img_rgb: np.ndarray) -> float:
 
 
 def extract_frames(video_path: str, out_dir: str, target_frames: int = 256,
-                   scorer=sharpness_iqa, bin_keep: int = 1) -> list[str]:
+                   scorer=None, bin_keep: int = 1) -> list[str]:
     """Extract frames, keep the best-scoring frame per time bin
-    (preprocess_raw_images.py:70-122).  Writes %06d.png; returns paths."""
+    (preprocess_raw_images.py:70-122).  Writes %06d.png; returns paths.
+    scorer=None picks the best available tier (preprocessing/iqa.py)."""
     import cv2
+
+    if scorer is None:
+        from gaussianhaircut_tpu.preprocessing.iqa import default_scorer
+        scorer = default_scorer()
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise FileNotFoundError(video_path)
@@ -70,12 +76,16 @@ def extract_frames(video_path: str, out_dir: str, target_frames: int = 256,
 
 
 def filter_extra_images(scene_path: str, max_imgs: int = 128,
-                        scorer=sharpness_iqa, images_dir: str = "images",
+                        scorer=None, images_dir: str = "images",
                         masks_dir: str = "masks") -> list[str]:
     """Keep the best max_imgs frames by hair-crop quality; drop frames with
     hair/face overlap > 10% of body (filter_extra_images.py:44-46).  Removes
     rejected images (and their masks) from disk like the reference."""
     import cv2
+
+    if scorer is None:
+        from gaussianhaircut_tpu.preprocessing.iqa import default_scorer
+        scorer = default_scorer()
     img_root = os.path.join(scene_path, images_dir)
     names = sorted(os.listdir(img_root))
     kept = []

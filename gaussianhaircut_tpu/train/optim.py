@@ -13,6 +13,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class AdamState(NamedTuple):
@@ -30,16 +31,41 @@ def adam_init(params) -> AdamState:
 def adam_update(grads, state: AdamState, lrs, b1: float = 0.9,
                 b2: float = 0.999, eps: float = 1e-15):
     """Returns (updates, new_state).  `lrs` is a pytree of scalars (static or
-    traced) matching `grads`; a leaf lr of 0 freezes that leaf."""
+    traced) matching `grads`; a leaf lr of 0 freezes that leaf.
+
+    Internally the moment/update math runs on ONE concatenated flat vector:
+    per-leaf tree.map Adam costs ~4.2 ms at bench scale on TPU (pure kernel
+    dispatch for ~17 leaves x several fusions; the HBM traffic itself is
+    ~0.3 ms) — ravel+concat once, compute, split back."""
     count = state.count + 1
-    mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
-    nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+    g_leaves, treedef = jax.tree.flatten(grads)
+    mu_leaves = jax.tree.leaves(state.mu)
+    nu_leaves = jax.tree.leaves(state.nu)
+    lr_leaves = jax.tree.leaves(
+        jax.tree.map(lambda lr, g: jnp.broadcast_to(
+            jnp.asarray(lr, g.dtype), (g.size,)), lrs, grads))
+    shapes = [g.shape for g in g_leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+    fg = jnp.concatenate([g.reshape(-1) for g in g_leaves])
+    fm = jnp.concatenate([m.reshape(-1) for m in mu_leaves])
+    fv = jnp.concatenate([v.reshape(-1) for v in nu_leaves])
+    fl = jnp.concatenate(lr_leaves)
+
+    fm = b1 * fm + (1 - b1) * fg
+    fv = b2 * fv + (1 - b2) * fg * fg
     c1 = 1 - b1 ** count.astype(jnp.float32)
     c2 = 1 - b2 ** count.astype(jnp.float32)
-    updates = jax.tree.map(
-        lambda m, v, lr: -lr * (m / c1) / (jnp.sqrt(v / c2) + eps),
-        mu, nu, lrs)
-    return updates, AdamState(mu, nu, count)
+    fu = -fl * (fm / c1) / (jnp.sqrt(fv / c2) + eps)
+
+    def unflat(flat):
+        parts = []
+        off = 0
+        for sh, sz in zip(shapes, sizes):
+            parts.append(flat[off:off + sz].reshape(sh))
+            off += sz
+        return jax.tree.unflatten(treedef, parts)
+
+    return unflat(fu), AdamState(unflat(fm), unflat(fv), count)
 
 
 def apply_updates(params, updates):

@@ -60,3 +60,50 @@ def test_merge_smplx_stream(tmp_path):
     frames = [r["frame"] for r in
               msp.read_stream(str(tmp_path / "initialization_pixie"))]
     assert frames == ["a", "b"]  # sorted path order
+
+
+def test_mscn_iqa_ranks_degradations():
+    """The NSS scorer must rank: sharp > blurred, sharp > noisy (the property
+    the variance-of-Laplacian proxy fails on noise — it REWARDS noise)."""
+    import cv2
+
+    from gaussianhaircut_tpu.preprocessing import iqa
+    from gaussianhaircut_tpu.preprocessing.frames import sharpness_iqa
+
+    rng = np.random.default_rng(0)
+    # a structured natural-ish image: smooth gradients + edges
+    x, y = np.meshgrid(np.linspace(0, 1, 160), np.linspace(0, 1, 160))
+    img = (0.5 + 0.3 * np.sin(9 * x) * np.cos(7 * y)
+           + 0.2 * ((x + y) > 1.0)) * 255
+    img = np.clip(img, 0, 255).astype(np.uint8)[..., None].repeat(3, -1)
+
+    blurred = cv2.GaussianBlur(img, (15, 15), 5)
+    noisy = np.clip(img.astype(np.float32)
+                    + rng.normal(0, 40, img.shape), 0, 255).astype(np.uint8)
+
+    s_sharp = iqa.mscn_iqa(img)
+    s_blur = iqa.mscn_iqa(blurred)
+    s_noise = iqa.mscn_iqa(noisy)
+    assert s_sharp > s_blur, (s_sharp, s_blur)
+    assert s_sharp > s_noise, (s_sharp, s_noise)
+    # document the proxy's failure mode the NSS scorer fixes
+    assert sharpness_iqa(noisy) > sharpness_iqa(img), \
+        "if Laplacian stops rewarding noise, revisit the scorer tiering"
+
+
+def test_cnn_scorer_loads_npz(tmp_path):
+    """CnnScorer loads the converter's npz schema and scores an image."""
+    from gaussianhaircut_tpu.preprocessing.iqa import CnnScorer
+    from tools.convert_hyperiqa import init_params
+
+    import jax
+
+    blob = init_params(jax.random.PRNGKey(0))
+    blob["kind"] = np.asarray("distilled-hyperiqa")
+    path = str(tmp_path / "iqa.npz")
+    np.savez(path, **blob)
+    sc = CnnScorer(path)
+    img = (np.random.default_rng(0).uniform(0, 255, (120, 90, 3))
+           ).astype(np.uint8)
+    v = sc(img)
+    assert np.isfinite(v)

@@ -1,0 +1,135 @@
+"""Offline converter: distill hyperIQA into the small CnnScorer convnet.
+
+The reference's frame selection scores with hyperIQA (ResNet50 + hypernet,
+cloned at install time — src/preprocessing/preprocess_raw_images.py:70-122).
+That topology is impractical to re-derive weight-for-weight, so — like
+tools/convert_neuralhaircut_ckpt.py — transfer is by DISTILLATION: run
+hyperIQA over a frame corpus, fit preprocessing/iqa.CnnScorer's 4-conv net
+to reproduce its scores, save npz.  Run on any machine with the hyperIQA
+clone + a directory of video frames; this container has neither.
+
+Usage:
+  python tools/convert_hyperiqa.py --hyperiqa_dir ext/hyperIQA \
+      --frames_dir $DATA/images --out weights/hyperiqa_distilled.npz
+      [--steps 3000] [--batch 32]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from glob import glob
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+
+
+def init_params(key, channels=(16, 32, 64, 128)):
+    import jax
+
+    params = {}
+    cin = 3
+    keys = jax.random.split(key, len(channels) + 1)
+    for i, cout in enumerate(channels):
+        fan = 3 * 3 * cin
+        params[f"conv{i}_w"] = (np.asarray(
+            jax.random.normal(keys[i], (3, 3, cin, cout)))
+            * np.sqrt(2.0 / fan)).astype(np.float32)
+        params[f"conv{i}_b"] = np.zeros(cout, np.float32)
+        cin = cout
+    params["head_w"] = (np.asarray(jax.random.normal(keys[-1], (cin,)))
+                        * 0.01).astype(np.float32)
+    params["head_b"] = np.zeros((), np.float32)
+    return params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("convert_hyperiqa")
+    ap.add_argument("--hyperiqa_dir", required=True)
+    ap.add_argument("--hyperiqa_ckpt", default="pretrained/koniq_pretrained.pkl")
+    ap.add_argument("--frames_dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args(argv)
+
+    import cv2
+    import torch
+
+    sys.path.insert(0, args.hyperiqa_dir)
+    import models as hyperiqa_models  # upstream hyperIQA repo
+
+    model_hyper = hyperiqa_models.HyperNet(
+        16, 112, 224, 112, 56, 28, 14, 7).eval()
+    model_hyper.load_state_dict(torch.load(
+        os.path.join(args.hyperiqa_dir, args.hyperiqa_ckpt),
+        map_location="cpu"))
+
+    @torch.no_grad()
+    def teacher_score(batch_rgb01):  # [N, 224, 224, 3] float
+        x = torch.from_numpy(batch_rgb01.transpose(0, 3, 1, 2))
+        mean = torch.tensor([0.485, 0.456, 0.406])[None, :, None, None]
+        std = torch.tensor([0.229, 0.224, 0.225])[None, :, None, None]
+        paras = model_hyper((x - mean) / std)
+        model_target = hyperiqa_models.TargetNet(paras).eval()
+        return model_target(paras["target_in_vec"]).numpy()
+
+    paths = sorted(glob(os.path.join(args.frames_dir, "*")))
+    imgs = []
+    for p in paths:
+        img = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        imgs.append(cv2.resize(img, (224, 224)).astype(np.float32) / 255.0)
+    imgs = np.stack(imgs)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gaussianhaircut_tpu.preprocessing.iqa import CnnScorer  # noqa: F401 (schema)
+
+    params = {k: jnp.asarray(v)
+              for k, v in init_params(jax.random.PRNGKey(0)).items()}
+    n_conv = 4
+
+    def forward(params, x):
+        for i in range(n_conv):
+            x = jax.lax.conv_general_dilated(
+                x, params[f"conv{i}_w"], (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jax.nn.relu(x + params[f"conv{i}_b"])
+        return jnp.mean(x, axis=(1, 2)) @ params["head_w"] + params["head_b"]
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(
+            lambda p: jnp.mean((forward(p, x) - y) ** 2))(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    for i in range(args.steps):
+        idx = rng.integers(0, len(imgs), args.batch)
+        x = imgs[idx]
+        # augment with blur/noise so the student learns the quality axis,
+        # not the content axis
+        if i % 2:
+            k = int(rng.integers(1, 4)) * 2 + 1
+            x = np.stack([cv2.GaussianBlur(v, (k, k), 0) for v in x])
+        y = teacher_score(x)
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(x),
+                                       jnp.asarray(y))
+        if i % 200 == 0:
+            print(f"step {i}: mse={float(loss):.4f}", flush=True)
+
+    blob = {k: np.asarray(v) for k, v in params.items()}
+    blob["kind"] = np.asarray("distilled-hyperiqa")
+    np.savez(args.out, **blob)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
