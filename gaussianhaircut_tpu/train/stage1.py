@@ -639,6 +639,7 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     cap_points = capacity * max(1, camera_batch)
     instance_cap = raster_cfg.instance_capacity(cap_points)
 
+    warned_slots = False
     n_data = max(1, camera_batch) if not mesh_spec else 1
     if camera_batch > 1 and mesh_spec:
         raise ValueError("camera_batch and mesh_spec are mutually exclusive")
@@ -718,6 +719,14 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 key, sub = jax.random.split(key)
                 state = densify_step(state, sub, scene.cameras_extent,
                                      opt_cfg=opt_cfg, max_screen_size=size_thr)
+                n_alive = int(state.model.num_alive())
+                if n_alive >= 0.99 * capacity and not warned_slots:
+                    warned_slots = True
+                    print(f"\n[iter {iteration}] gaussian slots ~exhausted "
+                          f"({n_alive}/{capacity}): densification is slot-"
+                          "starved from here on; raise --gaussian_capacity "
+                          "if quality plateaus (capacity-limited, "
+                          "NOTES_ROUND2.md quality findings)")
             if iteration % opt_cfg.opacity_reset_interval == 0 or (
                     model_cfg.white_background
                     and iteration == opt_cfg.densify_from_iter):

@@ -170,6 +170,21 @@ def main():
             state, cs, CameraBatch.from_cameras(cs), GtBatch.from_cameras(cs),
             range(len(cs)), active_sh_degree=3, width=res, height=res,
             raster_cfg=rcfg, model_cfg=model_cfg, name=name))
+
+    # LPIPS on the test views (metrics contract: BASELINE tracks PSNR/LPIPS;
+    # untrained-backbone fallback is labeled via lpips_kind)
+    from gaussianhaircut_tpu.ops.lpips import lpips_or_none
+    lp = lpips_or_none(allow_untrained=True)
+    lpips_vals = []
+    for c in Scene.test_cameras:
+        out = jax.device_get(render_gt(
+            state.model.params, state.model.aux.alive,
+            jnp.asarray(c.colmap_transform), jnp.asarray(c.fovx),
+            jnp.asarray(c.fovy)))
+        lpips_vals.append(float(lp(np.clip(out[0][:3], 0, 1),
+                                   np.clip(c.image[:3], 0, 1))))
+    report["test_lpips"] = float(np.mean(lpips_vals))
+    report["lpips_kind"] = lp.kind
     result = {
         "config": {"teacher_p": p, "res": res, "views": args.views,
                    "test_views": args.test_views, "iters": args.iters,
@@ -178,6 +193,8 @@ def main():
         "test_psnr": round(float(report["test_psnr"]), 3),
         "train_l1": round(float(report["train_l1"]), 5),
         "test_l1": round(float(report["test_l1"]), 5),
+        "test_lpips": round(float(report["test_lpips"]), 5),
+        "lpips_kind": report["lpips_kind"],
         "iters_per_sec": round(args.iters / dt, 3),
         "num_alive": int(state.model.num_alive()),
     }

@@ -171,6 +171,25 @@ def adam_only(eps, params, mu, nu, count):
 
 run("adam_full", adam_only, state.params, opt0.mu, opt0.nu, opt0.count)
 
+
+# --- per-Gaussian precompute fwd+bwd (the ~11 ms r2 item) ---
+def precompute_fwdbwd(eps, params, alive):
+    def f(xyz, scaling, rotation, feats):
+        p2 = params._replace(xyz=xyz + eps, scaling=scaling,
+                             rotation=rotation, features_rest=feats)
+        fl = renderer.fields_from_params(p2, alive)
+        ndc, conic, colors, opacity, depth, valid = (
+            renderer.prepare_raster_inputs(fl, 3, cam))
+        return (jnp.sum(ndc * 0.1) + jnp.sum(conic * 1e-4)
+                + jnp.sum(colors * 1e-3) + jnp.sum(opacity))
+    g = jax.grad(f, argnums=(0, 1, 2, 3))(params.xyz, params.scaling,
+                                          params.rotation,
+                                          params.features_rest)
+    return sum(x[::101].sum() for x in (g[0], g[1], g[2]))
+
+
+run("precompute_fwd+bwd", precompute_fwdbwd, state.params, state.aux.alive)
+
 # --- full train step, packed vs exact ---
 cam_batch_cams = []
 from gaussianhaircut_tpu.scene.cameras import CameraBatch, CameraStatic
