@@ -297,13 +297,19 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     slot_ok = off_in_tile < cinfo[:, 0:1]
 
     # --- slot materialization via CONTIGUOUS chunk slices ---
-    # One random [cap]-row gather builds the depth-sorted payload (+ the
-    # source gid bitcast into a 25th column), then every chunk fetches a
-    # contiguous ch-row window at tile_start + k*ch (vmapped dynamic_slice =
-    # a large-slice gather, ~10x cheaper than the per-slot element gather
-    # gid_sorted[src] it replaces).  A chunk's masked tail reads the next
-    # tile's rows; slot_ok zeroes them (payload) / marks them P (gid), so
-    # both value and autodiff-transpose contributions vanish.
+    # One random [cap]-row gather builds the depth-sorted payload, then every
+    # chunk fetches a contiguous ch-row window at tile_start + k*ch (vmapped
+    # dynamic_slice = a large-slice gather, ~10x cheaper than the per-slot
+    # element gather gid_sorted[src] it replaced).  A chunk's masked tail
+    # reads the next tile's rows; slot_ok zeroes them (payload) / marks them
+    # P (gid), so both value and autodiff-transpose contributions vanish.
+    #
+    # gid stays in the INTEGER domain end to end: an earlier version rode it
+    # through the payload as an i32->f32 bitcast column, which silently
+    # zeroed most ids on hardware (ids < 2^23 are f32 DENORMALS and the TPU
+    # flushes them somewhere in the copy chain) — forward parity held but
+    # every gradient was misattributed (round-3 regression, caught by
+    # tools/tpu_parity_check.py grad p99.9 ~0.5).
     pack24 = jnp.concatenate([
         mean_pix, conic, opacity,
         jnp.ones((p, 1), mean_pix.dtype), jnp.zeros((p, 1), mean_pix.dtype),
@@ -311,22 +317,19 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
         jnp.zeros((p, PAD_CHANNELS - colors.shape[1]), mean_pix.dtype),
     ], axis=-1)                                                      # [P, 24]
     safe_sorted_gid = jnp.minimum(gid_sorted, p - 1)
-    sorted_rows = jnp.concatenate([
-        pack24[safe_sorted_gid],
-        # bitcast, NOT float-cast: any i32 bit pattern must round-trip
-        jax.lax.bitcast_convert_type(gid_sorted, jnp.float32)[:, None],
-    ], axis=1)                                                       # [cap, 25]
-    sorted_rows = jnp.pad(sorted_rows, ((0, ch), (0, 0)))            # overrun pad
+    sorted_rows = jnp.pad(pack24[safe_sorted_gid],
+                          ((0, ch), (0, 0)))                         # overrun pad
     starts = jnp.minimum(cinfo[:, 1] + chunk_in_tile * ch, cap)
     slices = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(sorted_rows, (s, 0), (ch, 25))
-    )(starts)                                                        # [TC, ch, 25]
-    payload = (slices[:, :, :24]
+        lambda s: jax.lax.dynamic_slice(sorted_rows, (s, 0), (ch, 24))
+    )(starts)                                                        # [TC, ch, 24]
+    payload = (slices
                * slot_ok[:, :, None].astype(jnp.float32)).swapaxes(1, 2)
-    gid_slot = jnp.where(
-        slot_ok,
-        jax.lax.bitcast_convert_type(slices[:, :, 24], jnp.int32),
-        p).astype(jnp.int32).reshape(-1)
+    gid_pad = jnp.concatenate([gid_sorted,
+                               jnp.full((ch,), p, jnp.int32)])
+    gid_win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(gid_pad, (s,), (ch,)))(starts)
+    gid_slot = jnp.where(slot_ok, gid_win, p).astype(jnp.int32).reshape(-1)
 
     # chunks past the last real one (static capacity headroom) are marked -1
     # AFTER the slot math: the kernels treat them as permanently skipped

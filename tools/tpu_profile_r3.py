@@ -28,6 +28,8 @@ H = int(os.environ.get("PROF_H", 544))
 CAP_MULT = int(os.environ.get("PROF_CAP_MULT", 8))
 N = int(os.environ.get("PROF_N", 20))
 ONLY = os.environ.get("PROF_ONLY", "")
+TILE = int(os.environ.get("PROF_TILE", 32))
+CHUNK = int(os.environ.get("PROF_CHUNK", 128))
 
 rng = np.random.default_rng(0)
 pts = rng.normal(scale=0.3, size=(P, 3)).astype(np.float32)
@@ -96,8 +98,10 @@ def sort2_packed(eps, key, gid):
     return k[::1013].sum() + g[::1013].sum()
 
 
-cfgp = RasterConfig(backend="pallas", capacity_mult=CAP_MULT, sort_mode="packed")
-cfge = RasterConfig(backend="pallas", capacity_mult=CAP_MULT, sort_mode="exact")
+cfgp = RasterConfig(backend="pallas", capacity_mult=CAP_MULT,
+                    sort_mode="packed", tile_w=TILE, tile_h=TILE, chunk=CHUNK)
+cfge = RasterConfig(backend="pallas", capacity_mult=CAP_MULT,
+                    sort_mode="exact", tile_w=TILE, tile_h=TILE, chunk=CHUNK)
 cap = cfgp.instance_capacity(P)
 rng2 = np.random.default_rng(1)
 tile_id = jnp.asarray(rng2.integers(0, 511, cap), jnp.int32)
