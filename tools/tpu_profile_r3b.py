@@ -550,4 +550,26 @@ def d_precompute_fwdbwd(eps, params, alive):
 
 run("D_precompute_fwd", d_precompute_fwd, state.params, state.aux.alive)
 run("D_precompute_fwdbwd", d_precompute_fwdbwd, state.params, state.aux.alive)
+
+
+# ---------------------------------------------------------------- section E
+# HBM layout probe: same element count, different minor-dim widths.  If
+# [N, k<128] is lane-padded in HBM, the narrow shapes run ~128/k slower than
+# flat on a pure copy (y = x * s), which would explain the binning/precompute
+# costs and argue for feature-major or flat layouts throughout.
+NE = 8_000_000
+
+
+def e_copy(shape):
+    def f(eps, x):
+        return (x * (1.0 + eps)).reshape(-1)[::1013].sum()
+    return f
+
+
+for k in (1, 3, 24, 128):
+    shp = (NE // k, k) if k > 1 else (NE,)
+    x = jnp.asarray(rng.normal(size=shp), jnp.float32)
+    run(f"E_copy_{'x'.join(map(str, shp))}", e_copy(shp), x)
+x3 = jnp.asarray(rng.normal(size=(NE // 45, 15, 3)), jnp.float32)
+run("E_copy_fresty", e_copy(None), x3)
 print("rc=0", flush=True)
