@@ -130,26 +130,29 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
         binned, tile_buf, gbuf, width, height, cfg, interpret=_interpret())
 
     # ---- deterministic per-Gaussian reduction ----
-    tc, _, ch = dpay.shape
+    # dpay carries only the 16 live gradient rows ([feat6 | colors10] — the
+    # zero pad rows never leave the kernel), shrinking this reduction's
+    # dominant [S]-row gather by a third.
+    tc, nrow, ch = dpay.shape
     s = tc * ch
     p = binned.gauss_offset.shape[0]
     cap = cfg.instance_capacity(p)
-    g24 = dpay.swapaxes(1, 2).reshape(s, 24)
+    g16 = dpay.swapaxes(1, 2).reshape(s, nrow)
     gid = binned.gid.reshape(s)
     # slots sorted by (gid, slot) -> gaussian g's slots land in the contiguous
     # range [gauss_offset[g], gauss_offset[g] + gauss_count[g]) (counts are
     # preserved; invalid slots carry gid = P and sort past cap).  The slot
     # tiebreak makes the summation order deterministic.
     _, order = jax.lax.sort((gid, jnp.arange(s, dtype=jnp.int32)), num_keys=2)
-    g24 = g24[order[:cap]]
-    csum = jnp.cumsum(g24, axis=0)                                # [cap, 24]
+    g16 = g16[order[:cap]]
+    csum = jnp.cumsum(g16, axis=0)                                # [cap, 16]
 
     off = binned.gauss_offset
     cnt = binned.gauss_count
     end = jnp.clip(off + cnt - 1, 0, cap - 1)
     seg = csum[end] - jnp.where((off > 0)[:, None],
                                 csum[jnp.maximum(off - 1, 0)], 0.0)
-    seg = jnp.where((cnt > 0)[:, None], seg, 0.0)                 # [P, 24]
+    seg = jnp.where((cnt > 0)[:, None], seg, 0.0)                 # [P, 16]
 
     d_gx = seg[:, C.F_GX]
     d_gy = seg[:, C.F_GY]
@@ -158,7 +161,7 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
                        jnp.zeros_like(d_gx)], axis=-1)
     d_conic = seg[:, C.F_CA:C.F_CC + 1]
     d_opacity = seg[:, C.F_OP:C.F_OP + 1]
-    d_colors = seg[:, 8:8 + C.NUM_CHANNELS]
+    d_colors = seg[:, 6:6 + C.NUM_CHANNELS]
     d_bg_img = jnp.einsum("bchw,bhw->c", g_img, t_final)
     d_bg = jnp.pad(d_bg_img, (0, bg.shape[0] - C.NUM_CHANNELS))
 

@@ -212,33 +212,56 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
             (jnp.arange(n_batch, dtype=jnp.int32) * gy_grid)[:, None],
             (n_batch, p // n_batch)).reshape(p)
         rmin_y = rmin_y + row_base
-    offsets = jnp.cumsum(pre.tiles_touched) - pre.tiles_touched  # exclusive
+    offsets = (jnp.cumsum(pre.tiles_touched)
+               - pre.tiles_touched).astype(jnp.int32)              # exclusive
     total = offsets[-1] + pre.tiles_touched[-1]
 
     # --- duplicateWithKeys (rasterizer_impl.cu:70-111), static capacity ---
-    # expansion via scatter-max + cummax instead of jnp.repeat (repeat's
-    # searchsorted-style lowering cost ~4.7 ms at bench scale; one scatter of
-    # [P] starts + one [cap] cummax is ~4x cheaper).  Gaussians with zero
-    # tiles_touched share their offset with the next real one — scatter-MAX
-    # resolves the collision to the owning (largest) index.
+    # Expansion with NO per-instance gathers: every per-Gaussian quantity
+    # expands [P] -> [cap] by a scatter of value DELTAS at segment starts
+    # followed by an i32 cumsum (deltas telescope, so position i in gaussian
+    # g's range recovers vals[g] exactly; zero-count gaussians' deltas
+    # collide at the next start and scatter-ADD collapses them).  ~2.2x
+    # faster than the previous scatter-max/cummax + [cap, 4] row-gather
+    # (tools/tpu_profile_r3b.py A_expansion_*: 12.6 -> 5.6 ms at bench
+    # scale).  Everything stays in the INTEGER domain — small ints through
+    # f32 bitcasts get denormal-flushed on TPU (see the gid note below).
     iota_p = jnp.arange(p, dtype=jnp.int32)
-    base = jnp.zeros(cap, jnp.int32).at[offsets.astype(jnp.int32)].max(
-        iota_p, mode="drop")
-    gid = jax.lax.cummax(base)
-    inst_valid = jnp.arange(cap, dtype=jnp.int32) < total
-    # one fused row-gather instead of five per-column gathers (per-instance
-    # gathers dominate binning time on TPU)
-    ggeo = jnp.stack([offsets.astype(jnp.int32),
-                      jnp.maximum(rmax_x - rmin_x, 1), rmin_x, rmin_y],
-                     axis=-1)[gid]                                 # [cap, 4]
-    within = jnp.arange(cap, dtype=jnp.int32) - ggeo[:, 0]
-    rect_w = ggeo[:, 1]
+    iota_cap = jnp.arange(cap, dtype=jnp.int32)
+
+    def expand_i32(vals):
+        vals = vals.astype(jnp.int32)
+        d = vals - jnp.roll(vals, 1).at[0].set(0)
+        return jnp.cumsum(jnp.zeros(cap, jnp.int32).at[offsets].add(
+            d, mode="drop"))
+
+    rect_w = jnp.maximum(rmax_x - rmin_x, 1).astype(jnp.int32)
+    # pack (rect_w, rmin_x, rmin_y) into one i32 chain when the static bit
+    # widths fit; field widths come from the grid dims so the chain is exact
+    bw = max(int(gx_grid).bit_length(), 1)
+    by = max(int(n_batch * gy_grid).bit_length(), 1)
+    if 2 * bw + by <= 31:
+        geo = (rect_w << (bw + by)) | (rmin_x.astype(jnp.int32) << by) \
+            | rmin_y.astype(jnp.int32)
+        geo_i = expand_i32(geo)
+        rw = geo_i >> (bw + by)
+        rx = (geo_i >> by) & ((1 << bw) - 1)
+        ry = geo_i & ((1 << by) - 1)
+    else:  # huge grids: two chains
+        geo_i = expand_i32((rect_w << bw) | rmin_x.astype(jnp.int32))
+        rw = geo_i >> bw
+        rx = geo_i & ((1 << bw) - 1)
+        ry = expand_i32(rmin_y)
+    off_i = expand_i32(offsets)
+    gid = expand_i32(iota_p)
+    inst_valid = iota_cap < total
+    within = iota_cap - off_i
     # integer div/mod by a VECTOR divisor is emulated (slow) on TPU; the
     # +0.5 float trick is exact for within < 2^23, rect_w <= grid width
     q = jnp.floor((within.astype(jnp.float32) + 0.5)
-                  / rect_w.astype(jnp.float32)).astype(jnp.int32)
-    tile_x = ggeo[:, 2] + (within - q * rect_w)
-    tile_y = ggeo[:, 3] + q
+                  / rw.astype(jnp.float32)).astype(jnp.int32)
+    tile_x = rx + (within - q * rw)
+    tile_y = ry + q
     tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x, num_tiles).astype(jnp.int32)
 
     # --- the radix sort: (tile, depth, gid) lexicographic, like the stable
@@ -256,12 +279,15 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     # is most of the sort's cost on TPU; depths equal at the quantized
     # precision (>= 20 mantissa+exponent bits here) tie-break by gid, the
     # same deterministic order the CUDA stable radix gives exact ties. ---
-    inst_depth = jnp.where(inst_valid, depth[gid], jnp.inf).astype(jnp.float32)
+    # depth rides the expansion as its (monotone, for positives) f32 bit
+    # pattern — depth > NEAR_Z > 0 for every gaussian that owns instances
+    dbits_i = expand_i32(
+        jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32))
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     if cfg.sort_mode == "packed" and tile_bits <= 11:
         depth_bits = 31 - tile_bits
-        # positive f32 -> monotone nonneg i32; inf maps to the max bucket
-        dq = jax.lax.bitcast_convert_type(inst_depth, jnp.int32) >> (31 - depth_bits)
+        # positive f32 -> monotone nonneg i32; invalid -> the max bucket
+        dq = jnp.where(inst_valid, dbits_i, jnp.int32(0x7F800000)) >> (31 - depth_bits)
         dq = jnp.clip(dq, 0, (1 << depth_bits) - 1)
         key = tile_id * (1 << depth_bits) + dq
         key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=2)
@@ -269,6 +295,9 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
         search_keys = jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits
         bounds = jnp.searchsorted(key_sorted, search_keys)
     else:
+        inst_depth = jnp.where(
+            inst_valid,
+            jax.lax.bitcast_convert_type(dbits_i, jnp.float32), jnp.inf)
         tile_sorted, _, gid_sorted = jax.lax.sort(
             (tile_id, inst_depth, gid), num_keys=3)
         bounds = jnp.searchsorted(tile_sorted,
@@ -296,13 +325,16 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     off_in_tile = chunk_in_tile[:, None] * ch + lane                 # [TC, CH]
     slot_ok = off_in_tile < cinfo[:, 0:1]
 
-    # --- slot materialization via CONTIGUOUS chunk slices ---
-    # One random [cap]-row gather builds the depth-sorted payload, then every
-    # chunk fetches a contiguous ch-row window at tile_start + k*ch (vmapped
-    # dynamic_slice = a large-slice gather, ~10x cheaper than the per-slot
-    # element gather gid_sorted[src] it replaced).  A chunk's masked tail
-    # reads the next tile's rows; slot_ok zeroes them (payload) / marks them
-    # P (gid), so both value and autodiff-transpose contributions vanish.
+    # --- slot materialization: gid windows, then ONE row gather ---
+    # Every chunk fetches its contiguous ch-wide gid window at tile_start +
+    # k*ch (vmapped dynamic_slice over the sorted gid stream — cheap), masks
+    # the tail slots that belong to the next tile to gid = P, and then a
+    # single [TC*ch]-row gather of the 18 REAL payload columns (the 6
+    # always-zero colT pad rows are appended after the gather) materializes
+    # the kernel payload.  Indexing the zero pad row P for masked slots
+    # zeroes opacity AND the valid column, so masked slots contribute
+    # nothing in the kernels.  (tools/tpu_profile_r3b.py A_payload_*:
+    # 22.2 -> 19.8 ms for the rowgather shape, minus the pad columns.)
     #
     # gid stays in the INTEGER domain end to end: an earlier version rode it
     # through the payload as an i32->f32 bitcast column, which silently
@@ -310,26 +342,23 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     # flushes them somewhere in the copy chain) — forward parity held but
     # every gradient was misattributed (round-3 regression, caught by
     # tools/tpu_parity_check.py grad p99.9 ~0.5).
-    pack24 = jnp.concatenate([
-        mean_pix, conic, opacity,
-        jnp.ones((p, 1), mean_pix.dtype), jnp.zeros((p, 1), mean_pix.dtype),
-        colors,
-        jnp.zeros((p, PAD_CHANNELS - colors.shape[1]), mean_pix.dtype),
-    ], axis=-1)                                                      # [P, 24]
-    safe_sorted_gid = jnp.minimum(gid_sorted, p - 1)
-    sorted_rows = jnp.pad(pack24[safe_sorted_gid],
-                          ((0, ch), (0, 0)))                         # overrun pad
     starts = jnp.minimum(cinfo[:, 1] + chunk_in_tile * ch, cap)
-    slices = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(sorted_rows, (s, 0), (ch, 24))
-    )(starts)                                                        # [TC, ch, 24]
-    payload = (slices
-               * slot_ok[:, :, None].astype(jnp.float32)).swapaxes(1, 2)
     gid_pad = jnp.concatenate([gid_sorted,
                                jnp.full((ch,), p, jnp.int32)])
     gid_win = jax.vmap(
         lambda s: jax.lax.dynamic_slice(gid_pad, (s,), (ch,)))(starts)
-    gid_slot = jnp.where(slot_ok, gid_win, p).astype(jnp.int32).reshape(-1)
+    gid_slot = jnp.where(slot_ok, gid_win, p).astype(jnp.int32)      # [TC, ch]
+
+    ncol = 8 + colors.shape[1]                                       # 18
+    pack = jnp.concatenate([
+        mean_pix, conic, opacity,
+        jnp.ones((p, 1), mean_pix.dtype), jnp.zeros((p, 1), mean_pix.dtype),
+        colors,
+    ], axis=-1)                                                      # [P, ncol]
+    pack = jnp.pad(pack, ((0, 1), (0, 0)))                           # row P = 0
+    rows = pack[gid_slot]                                            # [TC, ch, ncol]
+    payload = jnp.pad(rows.swapaxes(1, 2),
+                      ((0, 0), (0, 8 + PAD_CHANNELS - ncol), (0, 0)))
 
     # chunks past the last real one (static capacity headroom) are marked -1
     # AFTER the slot math: the kernels treat them as permanently skipped

@@ -422,7 +422,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
         flag_ref[0] = jnp.min(carry_in_ref[:, 1:2])
 
     ch = dpay_ref.shape[-1]
-    dpay_ref[0] = jnp.zeros((24, ch), _F32)
+    dpay_ref[0] = jnp.zeros((6 + C.NUM_CHANNELS, ch), _F32)
 
     _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
                         issued_ref, c, flag_ref)
@@ -498,8 +498,10 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             d_a = -0.5 * s_dx2
             d_b = -s_dxdy
             d_c = -0.5 * s_dy2
-            zero = jnp.zeros_like(d_gx)
-            # dL/d(colT) [16, SUB] = g^T @ w
+            # dL/d(colT) [16, SUB] = g^T @ w; rows NUM_CHANNELS..15 are
+            # exactly zero (the host zeroes those cotangent lanes), so only
+            # the real rows are emitted — dpay is [16, SUB] not [24, SUB],
+            # which cuts the segment-reduction gather bytes by a third
             if cfg.bwd_matmul == "bf16x2":
                 d_colT = _dot_split2(g, q["w"], (((0,), (0,)), ((), ())))
             else:
@@ -507,8 +509,8 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                     g, q["w"], (((0,), (0,)), ((), ())),
                     preferred_element_type=_F32, precision=_HI)
             dpay_ref[0, :, sl] = jnp.concatenate(
-                [d_gx, d_gy, d_a, d_b, d_c, d_op, zero, zero, d_colT],
-                axis=0)                                             # [24, SUB]
+                [d_gx, d_gy, d_a, d_b, d_c, d_op,
+                 d_colT[:C.NUM_CHANNELS]], axis=0)                  # [16, SUB]
 
             lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
             prefix_new = prefix_in + jnp.sum(uw, axis=1, keepdims=True)
@@ -554,7 +556,8 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, 24, ch), lambda c, tof, kit: (c, 0, 0)),
+                pl.BlockSpec((1, 6 + C.NUM_CHANNELS, ch),
+                             lambda c, tof, kit: (c, 0, 0)),
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((pix, 8), _F32),
@@ -567,7 +570,7 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((length, 24, ch), _F32),
+                jax.ShapeDtypeStruct((length, 6 + C.NUM_CHANNELS, ch), _F32),
                 jax.ShapeDtypeStruct((pix, 8), _F32),
             ],
             interpret=interpret,

@@ -29,15 +29,31 @@ def adam_init(params) -> AdamState:
 
 
 def adam_update(grads, state: AdamState, lrs, b1: float = 0.9,
-                b2: float = 0.999, eps: float = 1e-15):
+                b2: float = 0.999, eps: float = 1e-15, mode: str = "leaf"):
     """Returns (updates, new_state).  `lrs` is a pytree of scalars (static or
     traced) matching `grads`; a leaf lr of 0 freezes that leaf.
 
-    Internally the moment/update math runs on ONE concatenated flat vector:
-    per-leaf tree.map Adam costs ~4.2 ms at bench scale on TPU (pure kernel
-    dispatch for ~17 leaves x several fusions; the HBM traffic itself is
-    ~0.3 ms) — ravel+concat once, compute, split back."""
+    mode="leaf" (default): straight tree.map — one fused elementwise kernel
+    per leaf, scalar lr, no relayouts.  mode="flat": ravel+concat the whole
+    tree into one vector first.  Flat LOOKED attractive against per-leaf
+    dispatch overhead, but on hardware every reshape(-1) of a lane-padded
+    [N, 3]-ish leaf is a relayout copy and the lr broadcast materializes a
+    full vector: measured 21.8 ms vs 4-8 ms per-leaf at bench scale
+    (tools/tpu_profile_step.py Adam_only, 2026-08-17) — kept only for
+    comparison harnesses."""
     count = state.count + 1
+    c1 = 1 - b1 ** count.astype(jnp.float32)
+    c2 = 1 - b2 ** count.astype(jnp.float32)
+
+    if mode == "leaf":
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, grads)
+        updates = jax.tree.map(
+            lambda lr, m, v: -jnp.asarray(lr, m.dtype) * (m / c1)
+            / (jnp.sqrt(v / c2) + eps), lrs, mu, nu)
+        return updates, AdamState(mu, nu, count)
+
     g_leaves, treedef = jax.tree.flatten(grads)
     mu_leaves = jax.tree.leaves(state.mu)
     nu_leaves = jax.tree.leaves(state.nu)
@@ -53,8 +69,6 @@ def adam_update(grads, state: AdamState, lrs, b1: float = 0.9,
 
     fm = b1 * fm + (1 - b1) * fg
     fv = b2 * fv + (1 - b2) * fg * fg
-    c1 = 1 - b1 ** count.astype(jnp.float32)
-    c2 = 1 - b2 ** count.astype(jnp.float32)
     fu = -fl * (fm / c1) / (jnp.sqrt(fv / c2) + eps)
 
     def unflat(flat):
