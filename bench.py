@@ -70,7 +70,7 @@ def run_config(p, width, height, iters, *, is_headline=False):
     def make_cfg(mult):
         return RasterConfig(
             backend="auto", tile_w=tile, tile_h=tile,
-            chunk=int(os.environ.get("BENCH_CHUNK", 128)),
+            chunk=int(os.environ.get("BENCH_CHUNK", 256)),
             capacity_mult=mult,
             segment_chunks=int(os.environ.get("BENCH_SEG", 4096)))
 

@@ -47,15 +47,22 @@ class RasterConfig:
     """Static rasterizer configuration (part of jit cache keys)."""
     tile_w: int = 32
     tile_h: int = 32
-    chunk: int = 128                # instances per kernel chunk
+    chunk: int = 256                # instances per kernel chunk (processed as
+                                    # 128-wide sub-chunks in-kernel; 256
+                                    # halves grid-step bookkeeping and
+                                    # measured ~3 ms faster than 128 at bench
+                                    # scale — tools/tpu_sweep_tiles.py; 16/24
+                                    # px tiles and chunk 128 all lost)
     capacity: int | None = None     # max instances pre-alignment (None -> mult * P)
     capacity_mult: int = 8
     backend: str = "auto"           # auto | pallas | jnp
     cumsum_method: str = "matmul"   # matmul | scan (kernel-internal prefix op)
-    bwd_matmul: str = "highest"     # highest | bf16x2: backward u/moments/
+    bwd_matmul: str = "bf16x2"      # bf16x2 | highest: backward u/moments/
                                     # d_colT matmuls as 3-pass hi+lo-split
                                     # bf16 (see pallas_core._dot_split2)
-                                    # instead of HIGHEST's 6 passes
+                                    # instead of HIGHEST's 6 passes; parity
+                                    # holds at the same p99.9 floor and it is
+                                    # ~1.4 ms faster fwd+bwd
     sort_mode: str = "packed"       # packed | exact: "packed" quantizes depth
                                     # into one (tile | depth-bits) i32 key (2
                                     # sort operands instead of 3); ties at the
