@@ -422,12 +422,20 @@ def main():
     opt3 = OptimizationConfig(iterations=args.iters3, lambda_dmask=0.1,
                               lambda_dorient=0.1, lambda_dssim=0.2,
                               train_orient_conf=False)
+
+    def cb3(it, st, metrics):
+        if log_every and it % log_every == 0:
+            delta = float(jnp.abs(st.params.dirs - params0.dirs).max())
+            print(f"# s3 it={it} total={float(metrics['total']):.4f} "
+                  f"l1={float(metrics['l1']):.4f} "
+                  f"max|d dirs|={delta:.3e}", flush=True)
+
     t0 = time.time()
     curves_state = stage3.train(
         model_cfg, opt3, scfg, pipe_cfg, Scene, head_model, hair_state.params,
         pool, scene_scale=radius_scale / model_cfg.strand_scale,
         num_strands=args.num_strands, checkpoint_iterations=(),
-        save_iterations=())
+        save_iterations=(), progress_callback=cb3 if log_every else None)
     dt3 = time.time() - t0
     print(f"# stage3: {args.iters3} iters in {dt3:.1f}s "
           f"({args.iters3 / dt3:.2f} it/s)", flush=True)
