@@ -49,7 +49,27 @@ class GaussianFields(NamedTuple):
 def prepare_raster_inputs(fields: GaussianFields, active_sh_degree: int,
                           cam: proj.CameraGeom, scaling_modifier: float = 1.0):
     """Differentiable per-Gaussian precompute -> the rasterize() operand tuple
-    (ndc, conic, colors10, opacity, depth, valid)."""
+    (ndc, conic, colors10, opacity, depth, valid).
+
+    Dispatches to the feature-major fused body (ops/precompute_fm.py) unless
+    QH_PRECOMPUTE=rowmajor — the [P, 3]/[P, 3, 3] row-major chain below is
+    kept as the readable reference implementation; tests/test_ops.py asserts
+    fwd+grad equivalence.  (Default flips to fm only after a hardware parity
+    run — see NOTES_ROUND3 regression postmortem.)"""
+    import os
+    if os.environ.get("QH_PRECOMPUTE", "rowmajor") == "fm":
+        from gaussianhaircut_tpu.ops import precompute_fm
+        return precompute_fm.prepare_fm(fields, active_sh_degree, cam,
+                                        scaling_modifier)
+    return prepare_raster_inputs_rowmajor(fields, active_sh_degree, cam,
+                                          scaling_modifier)
+
+
+def prepare_raster_inputs_rowmajor(fields: GaussianFields,
+                                   active_sh_degree: int,
+                                   cam: proj.CameraGeom,
+                                   scaling_modifier: float = 1.0):
+    """Row-major reference implementation of prepare_raster_inputs."""
     xyz = fields.xyz
     scaling = fields.scaling * scaling_modifier
     rot_m = fields.rotation_matrix

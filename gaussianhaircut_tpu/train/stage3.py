@@ -209,8 +209,10 @@ def train_step(state: CurvesTrainState, head: GaussianFields,
     new_params = jax.tree.map(lambda p, u: p + jnp.where(ok, u, 0.0),
                               state.params, updates)
     new_opt = jax.lax.cond(ok, lambda: new_opt, lambda: state.opt)
+    parts = dict(parts)
+    parts["grads_finite"] = ok.astype(jnp.float32)
     return CurvesTrainState(new_params, state.static, new_opt,
-                            state.step + 1), dict(parts)
+                            state.step + 1), parts
 
 
 def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,

@@ -187,3 +187,74 @@ def test_ssim_blur_matches_direct_conv(rng):
         out[:, :, j] = np.tensordot(win, pad2[:, :, j:j + 11], axes=(0, 2))
     got = np.asarray(ssim._blur(jnp.asarray(img)))
     np.testing.assert_allclose(got, out, rtol=1e-5, atol=1e-6)
+
+
+def test_prepare_fm_matches_rowmajor(rng):
+    """The feature-major fused precompute (ops/precompute_fm.py) must match
+    the row-major reference chain — outputs AND gradients (it is the
+    differentiable surface of the whole renderer)."""
+    import math as _math
+
+    from gaussianhaircut_tpu.render import renderer
+
+    p = 257
+    xyz = rng.normal(scale=0.4, size=(p, 3)).astype(np.float32)
+    quat = rng.normal(size=(p, 4)).astype(np.float32) + np.array(
+        [2.0, 0, 0, 0], np.float32)
+    scaling = np.exp(rng.normal(size=(p, 3)).astype(np.float32) * 0.3 - 4)
+    feats = rng.normal(size=(p, 16, 3)).astype(np.float32) * 0.3
+    fields = renderer.GaussianFields(
+        xyz=jnp.asarray(xyz),
+        features=jnp.asarray(feats),
+        scaling=jnp.asarray(scaling),
+        rotation_matrix=quaternion.build_rotation(jnp.asarray(quat)),
+        opacity=jnp.asarray(rng.uniform(0.1, 0.9, (p, 1)).astype(np.float32)),
+        label=jnp.asarray(rng.uniform(0, 1, (p, 1)).astype(np.float32)),
+        orient_conf=jnp.asarray(rng.uniform(0, 2, (p, 1)).astype(np.float32)),
+        valid=jnp.ones((p,), bool),
+        viewspace=jnp.zeros((p, 3), jnp.float32),
+        use_direction=jnp.asarray((rng.uniform(size=p) > 0.3)
+                                  .astype(np.float32)),
+    )
+    fov = _math.radians(47.0)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, 3] = [0.03, -0.1, 2.2]
+    from gaussianhaircut_tpu.scene.cameras import camera_geom
+    cam = camera_geom(jnp.asarray(w2c), jnp.asarray(fov), jnp.asarray(fov),
+                      96, 64, None)
+
+    from gaussianhaircut_tpu.ops import precompute_fm
+
+    def run(fn, f):
+        ndc, conic, colors, opacity, depth, valid = fn(f, 3, cam, 1.0)
+        return ndc, conic, colors, opacity, depth
+
+    ref = run(renderer.prepare_raster_inputs_rowmajor, fields)
+    got = run(precompute_fm.prepare_fm, fields)
+    for a, b, name in zip(got, ref, ("ndc", "conic", "colors", "op", "depth")):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5, err_msg=name)
+
+    # gradients through every differentiable input
+    cot = [jnp.asarray(rng.normal(size=np.shape(t)).astype(np.float32))
+           for t in ref]
+
+    def loss(fn, f):
+        outs = run(fn, f)
+        return sum(jnp.vdot(c, o) for c, o in zip(cot, outs))
+
+    diff = dict(xyz=fields.xyz, features=fields.features,
+                scaling=fields.scaling,
+                rotation_matrix=fields.rotation_matrix,
+                opacity=fields.opacity, label=fields.label,
+                orient_conf=fields.orient_conf)
+
+    def wrap(fn):
+        def inner(d):
+            return loss(fn, fields._replace(**d))
+        return inner
+
+    g_ref = jax.grad(wrap(renderer.prepare_raster_inputs_rowmajor))(diff)
+    g_got = jax.grad(wrap(precompute_fm.prepare_fm))(diff)
+    for k in diff:
+        np.testing.assert_allclose(
+            g_got[k], g_ref[k], rtol=2e-3, atol=2e-4, err_msg=f"grad {k}")

@@ -356,6 +356,11 @@ def main():
     dt2 = time.time() - t0
     print(f"# stage2: {args.iters2} iters in {dt2:.1f}s "
           f"({args.iters2 / dt2:.2f} it/s)", flush=True)
+    dump_dir = os.environ.get("QUALITY_DUMP_DIR")
+    if dump_dir:
+        stage2.save_checkpoint(hair_state,
+                               os.path.join(dump_dir, "stage2_state.npz"))
+        print(f"# stage2 state dumped to {dump_dir}", flush=True)
 
     def evaluate(fields_fn, cam_list, name):
         """PSNR / hair-mask L1 / orient error vs the teacher renders."""
@@ -428,6 +433,7 @@ def main():
             delta = float(jnp.abs(st.params.dirs - params0.dirs).max())
             print(f"# s3 it={it} total={float(metrics['total']):.4f} "
                   f"l1={float(metrics['l1']):.4f} "
+                  f"finite={float(metrics.get('grads_finite', -1)):.0f} "
                   f"max|d dirs|={delta:.3e}", flush=True)
 
     t0 = time.time()
