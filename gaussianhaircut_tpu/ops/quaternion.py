@@ -28,10 +28,17 @@ def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray
 def build_rotation(q: jnp.ndarray) -> jnp.ndarray:
     """Quaternion(s) [..., 4] (w, x, y, z), not necessarily unit -> [..., 3, 3].
 
-    Normalizes first (like general_utils.py:80-82). Uses the reference's
-    index-transposed layout so downstream covariance math matches exactly.
+    Normalizes first (like general_utils.py:80-82), but with the CLAMPED
+    norm: the reference's unguarded ``q / q.norm()`` NaNs (forward and
+    gradient) on an exactly-zero quaternion, which parallel_transport
+    produces for an exactly-antipodal segment.  That case is unreachable in
+    the reference's f32 CUDA path but real here: a bf16-quantized strand
+    decoder can emit segments exactly along -x, and ONE such segment NaNs
+    the whole gradient tree, so the NaN-guard silently skips EVERY stage-3
+    step (the 2026-08-17 stage-3 refinement freeze).  Clamped, q = 0 maps
+    to the identity rotation with finite gradients.
     """
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    q = normalize(q)
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     # Rows of the result (reference writes R[:, i, j] with i/j swapped
     # relative to the textbook formula — see general_utils.py:100-108).

@@ -189,6 +189,29 @@ def test_ssim_blur_matches_direct_conv(rng):
     np.testing.assert_allclose(got, out, rtol=1e-5, atol=1e-6)
 
 
+def test_antipodal_segment_grads_finite():
+    """An exactly-antipodal strand segment (seg = (-c, 0, 0)) produces a
+    ZERO parallel-transport quaternion; build_rotation's normalize must be
+    clamped or one such segment NaNs the entire gradient tree and the
+    NaN-guard silently freezes stage-3 forever (2026-08-17 postmortem —
+    reachable on TPU via bf16-quantized decoder outputs)."""
+    from gaussianhaircut_tpu.models.strands import strands_to_gaussians
+
+    pts = np.zeros((1, 3, 3), np.float32)
+    pts[0, 1] = [-0.5, 0.0, 0.0]
+    pts[0, 2] = [-0.5, 0.1, 0.0]
+
+    def loss(p):
+        sg = strands_to_gaussians(p, 1e-3)
+        return jnp.sum(sg.rotation_matrix) + jnp.sum(sg.scaling)
+
+    g = jax.grad(loss)(jnp.asarray(pts))
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # zero quaternion decodes to the identity rotation
+    rot = quaternion.build_rotation(jnp.zeros((1, 4)))
+    np.testing.assert_allclose(rot[0], np.eye(3), atol=1e-6)
+
+
 def test_prepare_fm_matches_rowmajor(rng):
     """The feature-major fused precompute (ops/precompute_fm.py) must match
     the row-major reference chain — outputs AND gradients (it is the
