@@ -115,6 +115,23 @@ def test_stage3_step_runs_and_updates(tmp_path):
     assert np.isfinite(metrics["total"])
     assert not np.allclose(np.asarray(state.params.dirs), d0)
 
+    # regression (2026-08-17 freeze): an exactly-antipodal segment
+    # (dir = (-c, 0, 0), a zero parallel-transport quaternion) must not NaN
+    # the gradient tree — the NaN-guard would silently skip EVERY step of
+    # the fixed-strand-set stage 3
+    bad = params.dirs.at[0, 0].set(jnp.asarray([-0.05, 0.0, 0.0]))
+    bad_state = stage3.CurvesTrainState(
+        params._replace(dirs=bad), static, adam_init(params),
+        jnp.zeros((), jnp.int32))
+    b0 = np.asarray(bad)
+    bad_state, bmetrics = stage3.train_step(
+        bad_state, head, cam_batch, gt_image, gt_mask, gt_oa, gt_oc,
+        jnp.asarray(0), None, jnp.asarray(1e-3),
+        scfg=scfg, width=res, height=res, raster_cfg=raster_cfg,
+        opt_cfg=opt_cfg, white_background=False)
+    assert float(bmetrics["grads_finite"]) == 1.0
+    assert not np.allclose(np.asarray(bad_state.params.dirs), b0)
+
     # checkpoint roundtrip
     stage3.save_checkpoint(state, str(tmp_path / "c/ck.npz"))
     st2 = stage3.load_checkpoint(str(tmp_path / "c/ck.npz"))
