@@ -75,6 +75,26 @@ class RasterConfig:
                                     # the SMEM scalar-prefetch arrays (a
                                     # single call crashed the worker at ~10k
                                     # chunks); <= 0 means one segment
+    power_mode: str = "matmul"      # matmul | vpu: how the per-(pixel,
+                                    # instance) Gaussian exponent is
+                                    # evaluated.  "matmul" = [PIX, 8] basis @
+                                    # [8, CH] coefficients at HIGHEST (6 bf16
+                                    # MXU passes; the expanded polynomial
+                                    # terms reach ~1e3 so anything cheaper
+                                    # loses absolute precision that feeds
+                                    # exp).  "vpu" = exact f32 elementwise
+                                    # outer-difference quadratic form
+                                    # (dx = gx - px built by broadcast; no
+                                    # cancellation, no MXU) — bit-accurate
+                                    # power at zero MXU cost.
+    fwd_acc: str = "highest"        # highest | bf16x2: forward feature-
+                                    # compositing matmul w @ colT.  Operands
+                                    # are O(1) (w in [0,1], colors in [0,1],
+                                    # depth channel O(10)) so the bf16x2
+                                    # 3-pass hi+lo split's ~1e-5 relative
+                                    # error sits far below the compositing
+                                    # parity floor; gate on hardware before
+                                    # flipping.
 
     @property
     def tile_pix(self) -> int:

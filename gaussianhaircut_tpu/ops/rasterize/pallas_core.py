@@ -139,16 +139,33 @@ def _prefix_matmul_f32(x, u_tri_f32):
             + jnp.dot(lo, u16, preferred_element_type=jnp.float32))
 
 
-def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0, tile_y0):
+def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0,
+                            tile_y0, power_mode="matmul"):
     """Shared fwd/bwd per-chunk math.  Returns a dict of [PIX, CH] arrays and
     per-chunk updates, mirroring forward.cu:351-388 semantics exactly.
 
     Precision strategy: the default TPU matmul precision truncates f32
     operands to bf16 (catastrophic for exponents / log prefix sums), so
-    every matmul here runs at Precision.HIGHEST."""
-    coef = _coef_matrix(feat, tile_x0, tile_y0)
-    power = jnp.dot(basis, coef, preferred_element_type=_F32,
-                    precision=_HI)                                      # [PIX, CH]
+    every matmul here runs at Precision.HIGHEST.  power_mode="vpu" sidesteps
+    the precision question entirely: the quadratic form is evaluated on the
+    centered differences dx = gx - px (broadcast outer difference, pure f32
+    VPU) instead of the expanded polynomial, so there is no large-term
+    cancellation and no MXU pass at all."""
+    if power_mode == "vpu":
+        px = basis[:, 3:4]                                              # [PIX, 1]
+        py = basis[:, 4:5]
+        gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)          # [1, CH]
+        gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
+        a = feat[C.F_CA:C.F_CA + 1, :]
+        b = feat[C.F_CB:C.F_CB + 1, :]
+        cc = feat[C.F_CC:C.F_CC + 1, :]
+        dx = gx - px                                                    # [PIX, CH]
+        dy = gy - py
+        power = -0.5 * (a * (dx * dx) + cc * (dy * dy)) - b * (dx * dy)
+    else:
+        coef = _coef_matrix(feat, tile_x0, tile_y0)
+        power = jnp.dot(basis, coef, preferred_element_type=_F32,
+                        precision=_HI)                                  # [PIX, CH]
     op = feat[C.F_OP:C.F_OP + 1, :]
     vld = feat[C.F_VALID:C.F_VALID + 1, :]
     expp = jnp.exp(power)
@@ -289,13 +306,19 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
             q = _chunk_blend_quantities(
                 pay_buf_ref[slot, :8, j * sub:(j + 1) * sub], u_ref[:, :],
-                basis_ref[:, :], t_in, done_in, tile_x0, tile_y0)
+                basis_ref[:, :], t_in, done_in, tile_x0, tile_y0,
+                power_mode=cfg.power_mode)
             # colT rows 10..15 are zero-padded, so += never touches the
             # done/trans lanes
-            acc_ref[:, :] += jax.lax.dot_general(
-                q["w"], pay_buf_ref[slot, 8:24, j * sub:(j + 1) * sub],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=_F32, precision=_HI)
+            adims = (((1,), (1,)), ((), ()))
+            if cfg.fwd_acc == "bf16x2":
+                acc_ref[:, :] += _dot_split2(
+                    q["w"], pay_buf_ref[slot, 8:24, j * sub:(j + 1) * sub],
+                    adims)
+            else:
+                acc_ref[:, :] += jax.lax.dot_general(
+                    q["w"], pay_buf_ref[slot, 8:24, j * sub:(j + 1) * sub],
+                    adims, preferred_element_type=_F32, precision=_HI)
             dt_ref[:, :] = jnp.concatenate([q["t_new"], q["done_new"]],
                                            axis=1)
             flag_ref[0] = jnp.min(q["done_new"])
@@ -447,7 +470,8 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             tile_x0 = (tile % gx_grid) * cfg.tile_w
             tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
             q = _chunk_blend_quantities(feat, u_ref[:, :], basis_ref[:, :],
-                                        t_in, done_in, tile_x0, tile_y0)
+                                        t_in, done_in, tile_x0, tile_y0,
+                                        power_mode=cfg.power_mode)
 
             # u[pix, i] = sum_ch g[pix, ch] * colT[ch, i]
             if cfg.bwd_matmul == "bf16x2":

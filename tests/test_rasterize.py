@@ -281,6 +281,44 @@ def test_pallas_multisubchunk_matches(scene, cfg):
                                    rtol=2e-3, atol=1e-3)
 
 
+def test_pallas_power_vpu_and_bf16x2_acc_match(scene, cfg):
+    """power_mode="vpu" (exact elementwise quadratic form) and
+    fwd_acc="bf16x2" must reproduce the default matmul kernels.  In interpret
+    mode the HIGHEST matmuls are f32-exact, so "vpu" should agree to float
+    roundoff; the bf16x2 compositing split adds ~1e-5 relative."""
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean_pix)
+    args = (jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+            jnp.asarray(opacity))
+
+    def run(**kw):
+        c = RasterConfig(**{**cfg.__dict__, "backend": "pallas", **kw})
+
+        def loss(ndc, conic, colors, opacity):
+            out = rasterize(ndc, conic, colors, opacity, jnp.asarray(depth),
+                            jnp.asarray(valid), jnp.asarray(bg), W, H, c)
+            return (jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"]),
+                    out["render"])
+
+        (v, img), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                         has_aux=True)(*args)
+        return img, g
+
+    img0, g0 = run()
+    img1, g1 = run(power_mode="vpu")
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+    img2, g2 = run(power_mode="vpu", fwd_acc="bf16x2")
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img2),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(g0, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+
+
 def _batch_scenes(n=3):
     """n distinct random scenes, stacked [n, P, ...]."""
     scenes = [make_scene(np.random.default_rng(100 + i)) for i in range(n)]

@@ -43,6 +43,8 @@ gw = jnp.asarray(rng.normal(size=(10, H, W)), jnp.float32)
 
 BWD_MATMUL = os.environ.get("PAR_BWD_MATMUL", "highest")
 SORT_MODE = os.environ.get("PAR_SORT", "packed")
+POWER_MODE = os.environ.get("PAR_POWER", "matmul")
+FWD_ACC = os.environ.get("PAR_FWD_ACC", "highest")
 
 
 def make(backend):
@@ -51,7 +53,9 @@ def make(backend):
     cfg = RasterConfig(backend=backend, tile_w=TILE, tile_h=TILE, chunk=CHUNK,
                        capacity_mult=8,
                        bwd_matmul=BWD_MATMUL if backend == "pallas" else "highest",
-                       sort_mode=SORT_MODE if backend == "pallas" else "exact")
+                       sort_mode=SORT_MODE if backend == "pallas" else "exact",
+                       power_mode=POWER_MODE if backend == "pallas" else "matmul",
+                       fwd_acc=FWD_ACC if backend == "pallas" else "highest")
 
     def loss(ndc, conic, colors, opacity):
         out = rasterize(ndc, conic, colors, opacity, depth_j, valid_j, bg_j,
@@ -65,7 +69,8 @@ def make(backend):
 (vp, (imp, tp)), gp = jax.block_until_ready(make("pallas")(*args))
 (vj, (imj, tj)), gj = jax.block_until_ready(make("jnp")(*args))
 
-print(f"P={P} {W}x{H} tile={TILE} chunk={CHUNK} bwd_matmul={BWD_MATMUL} sort={SORT_MODE}")
+print(f"P={P} {W}x{H} tile={TILE} chunk={CHUNK} bwd_matmul={BWD_MATMUL} "
+      f"sort={SORT_MODE} power={POWER_MODE} fwd_acc={FWD_ACC}")
 ok = True
 # Thresholds are calibrated to the measured compiled-vs-jnp noise floor of
 # the UNMODIFIED round-1 kernels on this exact scene (2026-08-16,
