@@ -54,10 +54,13 @@ def prepare_raster_inputs(fields: GaussianFields, active_sh_degree: int,
     Dispatches to the feature-major fused body (ops/precompute_fm.py) unless
     QH_PRECOMPUTE=rowmajor — the [P, 3]/[P, 3, 3] row-major chain below is
     kept as the readable reference implementation; tests/test_ops.py asserts
-    fwd+grad equivalence.  (Default flips to fm only after a hardware parity
-    run — see NOTES_ROUND3 regression postmortem.)"""
+    fwd+grad equivalence.  Default = fm since the 2026-08-18 hardware gate
+    (tools/tpu_fm_parity.py): fm sits within 2e-7 rel-to-max of the
+    Precision.HIGHEST oracle on TPU (the rowmajor path's default-precision
+    batched matmuls are ~1e-3 off) and is ~1.8x faster fwd+grad — bench
+    15.11 -> 17.08 it/s at 100k@960x544."""
     import os
-    if os.environ.get("QH_PRECOMPUTE", "rowmajor") == "fm":
+    if os.environ.get("QH_PRECOMPUTE", "fm") == "fm":
         from gaussianhaircut_tpu.ops import precompute_fm
         return precompute_fm.prepare_fm(fields, active_sh_degree, cam,
                                         scaling_modifier)
@@ -69,7 +72,22 @@ def prepare_raster_inputs_rowmajor(fields: GaussianFields,
                                    active_sh_degree: int,
                                    cam: proj.CameraGeom,
                                    scaling_modifier: float = 1.0):
-    """Row-major reference implementation of prepare_raster_inputs."""
+    """Row-major reference implementation of prepare_raster_inputs.
+
+    Runs under Precision.HIGHEST: at the TPU default precision the batched
+    [P, 3, 3] matmuls truncate operands to bf16, and for near-degenerate
+    strand-segment covariances that quantization produced NaN *gradients*
+    (finite losses, every step silently skipped by the NaN guard — the
+    round-3 stage-3 refinement freeze, /tmp/diag_s3_tpu 2026-08-18: 88k
+    nonfinite grad elements with rowmajor, zero with fm, on the identical
+    stage-2 state).  As the reference/oracle path its semantics must match
+    CPU f32, not the fastest MXU mode."""
+    with jax.default_matmul_precision("highest"):
+        return _prepare_rowmajor_body(fields, active_sh_degree, cam,
+                                      scaling_modifier)
+
+
+def _prepare_rowmajor_body(fields, active_sh_degree, cam, scaling_modifier):
     xyz = fields.xyz
     scaling = fields.scaling * scaling_modifier
     rot_m = fields.rotation_matrix
