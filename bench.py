@@ -75,7 +75,8 @@ def run_config(p, width, height, iters, *, is_headline=False):
             segment_chunks=int(os.environ.get("BENCH_SEG", 4096)),
             power_mode=os.environ.get("BENCH_POWER", "matmul"),
             fwd_acc=os.environ.get("BENCH_FWD_ACC", "highest"),
-            bwd_matmul=os.environ.get("BENCH_BWD_MATMUL", "bf16x2"))
+            bwd_matmul=os.environ.get("BENCH_BWD_MATMUL", "bf16x2"),
+            reduce_mode=os.environ.get("BENCH_REDUCE", "rowmajor"))
 
     # probe at a generous capacity, then right-size to the measured instance
     # count + headroom (the bench analog of the trainer's auto-grow: capacity

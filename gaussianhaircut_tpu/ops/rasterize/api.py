@@ -137,22 +137,34 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
     s = tc * ch
     p = binned.gauss_offset.shape[0]
     cap = cfg.instance_capacity(p)
-    g16 = dpay.swapaxes(1, 2).reshape(s, nrow)
     gid = binned.gid.reshape(s)
     # slots sorted by (gid, slot) -> gaussian g's slots land in the contiguous
     # range [gauss_offset[g], gauss_offset[g] + gauss_count[g]) (counts are
     # preserved; invalid slots carry gid = P and sort past cap).  The slot
     # tiebreak makes the summation order deterministic.
     _, order = jax.lax.sort((gid, jnp.arange(s, dtype=jnp.int32)), num_keys=2)
-    g16 = g16[order[:cap]]
-    csum = jnp.cumsum(g16, axis=0)                                # [cap, 16]
-
     off = binned.gauss_offset
     cnt = binned.gauss_count
     end = jnp.clip(off + cnt - 1, 0, cap - 1)
-    seg = csum[end] - jnp.where((off > 0)[:, None],
-                                csum[jnp.maximum(off - 1, 0)], 0.0)
-    seg = jnp.where((cnt > 0)[:, None], seg, 0.0)                 # [P, 16]
+    if cfg.reduce_mode == "featmajor":
+        # instance-minor layout: the dominant [S]-gather and the cumsum move
+        # only logical bytes ([16, S] / [16, cap]) instead of rows padded to
+        # 128 lanes.  Same summation order as rowmajor (bit-identical).
+        g16t = dpay.reshape(s // ch, nrow, ch).transpose(1, 0, 2).reshape(nrow, s)
+        g16t = jnp.take(g16t, order[:cap], axis=1)
+        csum = jnp.cumsum(g16t, axis=1)                           # [16, cap]
+        seg = (jnp.take(csum, end, axis=1)
+               - jnp.where((off > 0)[None, :],
+                           jnp.take(csum, jnp.maximum(off - 1, 0), axis=1),
+                           0.0))
+        seg = jnp.where((cnt > 0)[None, :], seg, 0.0).T           # [P, 16]
+    else:
+        g16 = dpay.swapaxes(1, 2).reshape(s, nrow)
+        g16 = g16[order[:cap]]
+        csum = jnp.cumsum(g16, axis=0)                            # [cap, 16]
+        seg = csum[end] - jnp.where((off > 0)[:, None],
+                                    csum[jnp.maximum(off - 1, 0)], 0.0)
+        seg = jnp.where((cnt > 0)[:, None], seg, 0.0)             # [P, 16]
 
     d_gx = seg[:, C.F_GX]
     d_gy = seg[:, C.F_GY]

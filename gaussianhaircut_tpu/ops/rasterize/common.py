@@ -95,6 +95,16 @@ class RasterConfig:
                                     # error sits far below the compositing
                                     # parity floor; gate on hardware before
                                     # flipping.
+    reduce_mode: str = "rowmajor"   # rowmajor | featmajor: layout of the
+                                    # backward per-Gaussian segment reduction.
+                                    # rowmajor gathers [S, 16] rows (each row
+                                    # lane-padded to 128 in HBM); featmajor
+                                    # keeps the instance axis minor ([16, S]
+                                    # take along axis 1 + [16, cap] cumsum),
+                                    # moving only logical bytes.  Bit-identical
+                                    # math (same summation order); pick by
+                                    # measured time (tools/tpu_profile_r3b
+                                    # section B).
 
     @property
     def tile_pix(self) -> int:

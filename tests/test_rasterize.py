@@ -319,6 +319,31 @@ def test_pallas_power_vpu_and_bf16x2_acc_match(scene, cfg):
                                    rtol=1e-3, atol=5e-4)
 
 
+def test_reduce_featmajor_bit_matches_rowmajor(scene, cfg):
+    """reduce_mode="featmajor" re-lays-out the backward segment reduction
+    (instance-minor gather + cumsum) but keeps the exact summation order, so
+    gradients must be BIT-identical to rowmajor."""
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean_pix)
+    args = (jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+            jnp.asarray(opacity))
+
+    def run(**kw):
+        c = RasterConfig(**{**cfg.__dict__, "backend": "pallas", **kw})
+
+        def loss(ndc, conic, colors, opacity):
+            out = rasterize(ndc, conic, colors, opacity, jnp.asarray(depth),
+                            jnp.asarray(valid), jnp.asarray(bg), W, H, c)
+            return jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"])
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+
+    g0 = run(reduce_mode="rowmajor")
+    g1 = run(reduce_mode="featmajor")
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def _batch_scenes(n=3):
     """n distinct random scenes, stacked [n, P, ...]."""
     scenes = [make_scene(np.random.default_rng(100 + i)) for i in range(n)]

@@ -45,6 +45,7 @@ BWD_MATMUL = os.environ.get("PAR_BWD_MATMUL", "highest")
 SORT_MODE = os.environ.get("PAR_SORT", "packed")
 POWER_MODE = os.environ.get("PAR_POWER", "matmul")
 FWD_ACC = os.environ.get("PAR_FWD_ACC", "highest")
+REDUCE_MODE = os.environ.get("PAR_REDUCE", "rowmajor")
 
 
 def make(backend):
@@ -55,7 +56,9 @@ def make(backend):
                        bwd_matmul=BWD_MATMUL if backend == "pallas" else "highest",
                        sort_mode=SORT_MODE if backend == "pallas" else "exact",
                        power_mode=POWER_MODE if backend == "pallas" else "matmul",
-                       fwd_acc=FWD_ACC if backend == "pallas" else "highest")
+                       fwd_acc=FWD_ACC if backend == "pallas" else "highest",
+                       reduce_mode=REDUCE_MODE if backend == "pallas"
+                       else "rowmajor")
 
     def loss(ndc, conic, colors, opacity):
         out = rasterize(ndc, conic, colors, opacity, depth_j, valid_j, bg_j,
@@ -70,7 +73,8 @@ def make(backend):
 (vj, (imj, tj)), gj = jax.block_until_ready(make("jnp")(*args))
 
 print(f"P={P} {W}x{H} tile={TILE} chunk={CHUNK} bwd_matmul={BWD_MATMUL} "
-      f"sort={SORT_MODE} power={POWER_MODE} fwd_acc={FWD_ACC}")
+      f"sort={SORT_MODE} power={POWER_MODE} fwd_acc={FWD_ACC} "
+      f"reduce={REDUCE_MODE}")
 ok = True
 # Thresholds are calibrated to the measured compiled-vs-jnp noise floor of
 # the UNMODIFIED round-1 kernels on this exact scene (2026-08-16,
