@@ -86,15 +86,26 @@ class RasterConfig:
                                     # outer-difference quadratic form
                                     # (dx = gx - px built by broadcast; no
                                     # cancellation, no MXU) — bit-accurate
-                                    # power at zero MXU cost.
-    fwd_acc: str = "highest"        # highest | bf16x2: forward feature-
+                                    # power at zero MXU cost.  Parity PASSED
+                                    # on hardware but the train step is ~1
+                                    # it/s SLOWER (16.3 vs 17.4, 2026-08-18:
+                                    # the VPU elementwise quadratic costs
+                                    # more than the 6-pass K=8 matmul), so
+                                    # matmul stays the default.
+    fwd_acc: str = "bf16x2"         # bf16x2 | highest: forward feature-
                                     # compositing matmul w @ colT.  Operands
                                     # are O(1) (w in [0,1], colors in [0,1],
                                     # depth channel O(10)) so the bf16x2
                                     # 3-pass hi+lo split's ~1e-5 relative
                                     # error sits far below the compositing
-                                    # parity floor; gate on hardware before
-                                    # flipping.
+                                    # parity floor.  Hardware parity gate
+                                    # PASSED (2026-08-18: fwd p99.9 <=
+                                    # 2.9e-3, grad p99.9 <= 2.2e-3 — the r2
+                                    # floor); fwd-only rasterize 47.4 ->
+                                    # 23.1 ms at 100k@960x544-uniform and
+                                    # the full train step 17.08 -> 17.38
+                                    # it/s, so it is the default.  "highest"
+                                    # = 6-pass exact (the parity oracle).
     reduce_mode: str = "rowmajor"   # rowmajor | featmajor: layout of the
                                     # backward per-Gaussian segment reduction.
                                     # rowmajor gathers [S, 16] rows (each row

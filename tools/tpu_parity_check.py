@@ -44,7 +44,7 @@ gw = jnp.asarray(rng.normal(size=(10, H, W)), jnp.float32)
 BWD_MATMUL = os.environ.get("PAR_BWD_MATMUL", "highest")
 SORT_MODE = os.environ.get("PAR_SORT", "packed")
 POWER_MODE = os.environ.get("PAR_POWER", "matmul")
-FWD_ACC = os.environ.get("PAR_FWD_ACC", "highest")
+FWD_ACC = os.environ.get("PAR_FWD_ACC", "bf16x2")
 REDUCE_MODE = os.environ.get("PAR_REDUCE", "rowmajor")
 
 
