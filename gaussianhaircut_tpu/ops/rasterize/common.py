@@ -75,7 +75,8 @@ class RasterConfig:
                                     # the SMEM scalar-prefetch arrays (a
                                     # single call crashed the worker at ~10k
                                     # chunks); <= 0 means one segment
-    power_mode: str = "matmul"      # matmul | vpu: how the per-(pixel,
+    power_mode: str = "matmul"      # matmul | vpu | split2: how the per-
+                                    # (pixel,
                                     # instance) Gaussian exponent is
                                     # evaluated.  "matmul" = [PIX, 8] basis @
                                     # [8, CH] coefficients at HIGHEST (6 bf16
@@ -91,7 +92,19 @@ class RasterConfig:
                                     # it/s SLOWER (16.3 vs 17.4, 2026-08-18:
                                     # the VPU elementwise quadratic costs
                                     # more than the 6-pass K=8 matmul), so
-                                    # matmul stays the default.
+                                    # matmul stays the default.  "split2" =
+                                    # 2-pass matmul against the bf16-EXACT
+                                    # centered-integer basis (tiles <= 32;
+                                    # see pallas_core._pixel_basis): only
+                                    # the coefficient operand is hi+lo
+                                    # split.  Parity FAILED on hardware
+                                    # (fwd max 0.17 on 25px-sigma tails —
+                                    # coef 2^-17 error feeds exp) — bench
+                                    # 18.15 it/s but NOT usable.  "split3" =
+                                    # hi+mid+lo coef split vs the exact
+                                    # basis: f32-grade (~2^-24), 3 passes
+                                    # (half of HIGHEST).  Gate on hardware
+                                    # before use.
     fwd_acc: str = "bf16x2"         # bf16x2 | highest: forward feature-
                                     # compositing matmul w @ colT.  Operands
                                     # are O(1) (w in [0,1], colors in [0,1],

@@ -53,32 +53,51 @@ def _tri_incl(ch: int) -> np.ndarray:
     return np.triu(np.ones((ch, ch), np.float32))
 
 
+def _half(cfg: C.RasterConfig) -> tuple[int, int]:
+    """Tile-center offset for the CENTERED pixel basis."""
+    return cfg.tile_w // 2, cfg.tile_h // 2
+
+
 def _pixel_basis(cfg: C.RasterConfig):
     """[PIX, 8] polynomial basis (px^2, py^2, px*py, px, py, 1, 0, 0) in
-    TILE-LOCAL pixel coordinates.
+    CENTERED tile-local pixel coordinates (px - tile_w/2 in [-16, 16) for
+    the default 32-tile).
 
     Local (not absolute) coordinates keep every matmul operand small: with
     absolute coords the quadratic coefficients reach ~1e4 and the MXU's
     bf16-elevated f32 products lose ~0.1-50 in the exponent (observed as a
-    deterministic mis-render / exp-overflow NaN on hardware)."""
+    deterministic mis-render / exp-overflow NaN on hardware).  CENTERED
+    integer coordinates additionally make every basis entry an integer of
+    magnitude <= 256 for tiles up to 32px — EXACT in bf16 — so matmuls
+    against the basis need to split only the other operand (2 bf16 passes
+    instead of HIGHEST's 6 / both-split's 3)."""
     pix = cfg.tile_pix
+    hx, hy = _half(cfg)
     i = jax.lax.broadcasted_iota(jnp.int32, (pix, 1), 0)
-    px = (i % cfg.tile_w).astype(_F32)
-    py = (i // cfg.tile_w).astype(_F32)
+    px = (i % cfg.tile_w).astype(_F32) - float(hx)
+    py = (i // cfg.tile_w).astype(_F32) - float(hy)
     one = jnp.ones_like(px)
     zero = jnp.zeros_like(px)
     return jnp.concatenate(
         [px * px, py * py, px * py, px, py, one, zero, zero], axis=1)
 
 
-def _coef_matrix(feat, tile_x0, tile_y0):
+def _basis_exact_bf16(cfg: C.RasterConfig) -> bool:
+    """True when every _pixel_basis entry is exactly representable in bf16
+    (integers of magnitude <= 256, i.e. centered tiles up to 32x32)."""
+    hx, hy = _half(cfg)
+    return max(cfg.tile_w - hx, hx) * max(cfg.tile_h - hy, hy) <= 256
+
+
+def _coef_matrix(feat, tile_x0, tile_y0, half_x=0, half_y=0):
     """[8, CH] per-instance quadratic coefficients matching `_pixel_basis`
-    (both in tile-local coordinates: gx/gy are shifted by the tile origin).
+    (both in centered tile-local coordinates: gx/gy are shifted by the tile
+    origin plus the tile half-size).
 
     power(px, py) = -0.5 a dx^2 - 0.5 c dy^2 - b dx dy with dx = gx - px.
     """
-    gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)
-    gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
+    gx = feat[C.F_GX:C.F_GX + 1, :] - (tile_x0.astype(_F32) + half_x)
+    gy = feat[C.F_GY:C.F_GY + 1, :] - (tile_y0.astype(_F32) + half_y)
     a = feat[C.F_CA:C.F_CA + 1, :]
     b = feat[C.F_CB:C.F_CB + 1, :]
     cc = feat[C.F_CC:C.F_CC + 1, :]
@@ -121,6 +140,54 @@ def _dot_split2(a, b, dims=None):
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
+def _dot_split2_lhs(a, b_exact, dims=None):
+    """f32 matmul as TWO bf16 MXU passes: hi+lo split of `a` against an
+    operand whose f32 values are EXACTLY representable in bf16 (e.g. the
+    centered-integer pixel basis, _basis_exact_bf16).  Error is just a's
+    ~17-bit representation (~7e-6 relative) — tighter than _dot_split2's
+    3 passes at 2/3 the cost."""
+    ah, al = _split2(a)
+    b16 = b_exact.astype(jnp.bfloat16)
+    if dims is None:
+        d = lambda x: jnp.dot(x, b16, preferred_element_type=jnp.float32)
+    else:
+        d = lambda x: jax.lax.dot_general(
+            x, b16, dims, preferred_element_type=jnp.float32)
+    return d(ah) + d(al)
+
+
+def _dot_split2_rhs(a_exact, b, dims=None):
+    """Mirror of _dot_split2_lhs with the EXACT operand on the left: hi+lo
+    split of `b` against bf16-exact `a` (2 MXU passes, no transposes)."""
+    bh, bl = _split2(b)
+    a16 = a_exact.astype(jnp.bfloat16)
+    if dims is None:
+        d = lambda y: jnp.dot(a16, y, preferred_element_type=jnp.float32)
+    else:
+        d = lambda y: jax.lax.dot_general(
+            a16, y, dims, preferred_element_type=jnp.float32)
+    return d(bh) + d(bl)
+
+
+def _dot_split3_rhs(a_exact, b, dims=None):
+    """Three-way (hi+mid+lo, ~2^-24 relative — f32-grade) split of `b`
+    against bf16-exact `a`: 3 MXU passes, HALF of HIGHEST's 6, with none of
+    the 2-way split's tail error (split2 left ~2^-17-of-coef absolute error
+    in the exponent, which the hardware parity gate rejected at max 0.17
+    alpha-relative on 25px-sigma scenes)."""
+    bh = b.astype(jnp.bfloat16)
+    r1 = b - bh.astype(jnp.float32)
+    bm = r1.astype(jnp.bfloat16)
+    bl = (r1 - bm.astype(jnp.float32)).astype(jnp.bfloat16)
+    a16 = a_exact.astype(jnp.bfloat16)
+    if dims is None:
+        d = lambda y: jnp.dot(a16, y, preferred_element_type=jnp.float32)
+    else:
+        d = lambda y: jax.lax.dot_general(
+            a16, y, dims, preferred_element_type=jnp.float32)
+    return d(bh) + d(bm) + d(bl)
+
+
 def _prefix_matmul_f32(x, u_tri_f32):
     """Inclusive prefix sum of x [PIX, SUB] along SUB via a triangular-ones
     matmul, computed as TWO bf16 MXU passes on a hi+lo split of x.
@@ -140,7 +207,7 @@ def _prefix_matmul_f32(x, u_tri_f32):
 
 
 def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0,
-                            tile_y0, power_mode="matmul"):
+                            tile_y0, power_mode="matmul", half=(0, 0)):
     """Shared fwd/bwd per-chunk math.  Returns a dict of [PIX, CH] arrays and
     per-chunk updates, mirroring forward.cu:351-388 semantics exactly.
 
@@ -150,20 +217,32 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0,
     the precision question entirely: the quadratic form is evaluated on the
     centered differences dx = gx - px (broadcast outer difference, pure f32
     VPU) instead of the expanded polynomial, so there is no large-term
-    cancellation and no MXU pass at all."""
+    cancellation and no MXU pass at all.  power_mode="split2" exploits the
+    bf16-EXACT centered-integer basis (tiles <= 32): only the coefficient
+    operand is hi+lo split, so power costs 2 MXU passes instead of 6; the
+    getRect truncation bounds |coef| by ~(16/sigma + 3)^2 <= ~4e2, so the
+    coefficients' ~2^-17 representation error contributes <~ 6e-3 absolute
+    to the exponent — inside the alpha-threshold parity floor (gate on
+    hardware regardless)."""
     if power_mode == "vpu":
         px = basis[:, 3:4]                                              # [PIX, 1]
         py = basis[:, 4:5]
-        gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)          # [1, CH]
-        gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
+        gx = feat[C.F_GX:C.F_GX + 1, :] - (tile_x0.astype(_F32) + half[0])
+        gy = feat[C.F_GY:C.F_GY + 1, :] - (tile_y0.astype(_F32) + half[1])
         a = feat[C.F_CA:C.F_CA + 1, :]
         b = feat[C.F_CB:C.F_CB + 1, :]
         cc = feat[C.F_CC:C.F_CC + 1, :]
         dx = gx - px                                                    # [PIX, CH]
         dy = gy - py
         power = -0.5 * (a * (dx * dx) + cc * (dy * dy)) - b * (dx * dy)
+    elif power_mode == "split2":
+        coef = _coef_matrix(feat, tile_x0, tile_y0, half[0], half[1])
+        power = _dot_split2_rhs(basis, coef)                            # [PIX, CH]
+    elif power_mode == "split3":
+        coef = _coef_matrix(feat, tile_x0, tile_y0, half[0], half[1])
+        power = _dot_split3_rhs(basis, coef)                            # [PIX, CH]
     else:
-        coef = _coef_matrix(feat, tile_x0, tile_y0)
+        coef = _coef_matrix(feat, tile_x0, tile_y0, half[0], half[1])
         power = jnp.dot(basis, coef, preferred_element_type=_F32,
                         precision=_HI)                                  # [PIX, CH]
     op = feat[C.F_OP:C.F_OP + 1, :]
@@ -307,7 +386,7 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             q = _chunk_blend_quantities(
                 pay_buf_ref[slot, :8, j * sub:(j + 1) * sub], u_ref[:, :],
                 basis_ref[:, :], t_in, done_in, tile_x0, tile_y0,
-                power_mode=cfg.power_mode)
+                power_mode=cfg.power_mode, half=_half(cfg))
             # colT rows 10..15 are zero-padded, so += never touches the
             # done/trans lanes
             adims = (((1,), (1,)), ((), ()))
@@ -471,7 +550,8 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
             q = _chunk_blend_quantities(feat, u_ref[:, :], basis_ref[:, :],
                                         t_in, done_in, tile_x0, tile_y0,
-                                        power_mode=cfg.power_mode)
+                                        power_mode=cfg.power_mode,
+                                        half=_half(cfg))
 
             # u[pix, i] = sum_ch g[pix, ch] * colT[ch, i]
             if cfg.bwd_matmul == "bf16x2":
@@ -490,10 +570,16 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             m = dalpha * q["raw"]                                   # dL/dpower
             d_op = jnp.sum(dalpha * q["expp"], axis=0, keepdims=True)
 
-            # moments are in tile-local pixel coords, matching the local basis
+            # moments are in centered tile-local pixel coords, matching the
+            # basis.  The basis is bf16-exact for tiles <= 32
+            # (_basis_exact_bf16), so the bf16x2 route needs only the m
+            # split: 2 passes, and STRICTLY more accurate than both-split.
             mdims = (((0,), (0,)), ((), ()))
             if cfg.bwd_matmul == "bf16x2":
-                moments = _dot_split2(m, basis_ref[:, :], mdims)    # [SUB, 8]
+                if _basis_exact_bf16(cfg):
+                    moments = _dot_split2_lhs(m, basis_ref[:, :], mdims)
+                else:
+                    moments = _dot_split2(m, basis_ref[:, :], mdims)  # [SUB, 8]
             else:
                 moments = jax.lax.dot_general(m, basis_ref[:, :], mdims,
                                               preferred_element_type=_F32,
@@ -505,8 +591,9 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             my = moments[:, 4][None, :]
             m1 = moments[:, 5][None, :]
 
-            gx = feat[C.F_GX:C.F_GX + 1, :] - tile_x0.astype(_F32)
-            gy = feat[C.F_GY:C.F_GY + 1, :] - tile_y0.astype(_F32)
+            hx, hy = _half(cfg)
+            gx = feat[C.F_GX:C.F_GX + 1, :] - (tile_x0.astype(_F32) + hx)
+            gy = feat[C.F_GY:C.F_GY + 1, :] - (tile_y0.astype(_F32) + hy)
             a = feat[C.F_CA:C.F_CA + 1, :]
             b = feat[C.F_CB:C.F_CB + 1, :]
             cc = feat[C.F_CC:C.F_CC + 1, :]
