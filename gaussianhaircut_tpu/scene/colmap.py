@@ -127,17 +127,44 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
     return imgs
 
 
+def _is_meta_line(parts: list[str]) -> bool:
+    """IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME — 10 fields, last one a
+    filename; a POINTS2D row is 3N numeric fields (X Y POINT3D_ID)*."""
+    if len(parts) != 10:
+        return False
+    try:
+        float(parts[9])
+        return False
+    except ValueError:
+        return True
+
+
 def read_images_text(path: str) -> dict[int, ColmapImage]:
+    """COLMAP alternates a meta line with a POINTS2D line that is EMPTY for
+    images without observations (colmap_loader-style readers consume it
+    positionally) — so blank lines must not be pre-filtered, or every image
+    after a zero-observation one lands on the wrong parity."""
     imgs = {}
+    expecting_points = False
     with open(path) as f:
-        lines = [l.strip() for l in f
-                 if l.strip() and not l.strip().startswith("#")]
-    for meta in lines[::2]:  # every other line is the 2D point list
-        parts = meta.split()
-        iid = int(parts[0])
-        qvec = np.array([float(p) for p in parts[1:5]])
-        tvec = np.array([float(p) for p in parts[5:8]])
-        imgs[iid] = ColmapImage(iid, qvec, tvec, int(parts[8]), parts[9])
+        for line in f:
+            s = line.strip()
+            if s.startswith("#"):
+                continue
+            parts = s.split()
+            if expecting_points:
+                # normally the POINTS2D row (possibly empty) — but tolerate
+                # writers that omit it entirely by sniffing meta lines
+                if not _is_meta_line(parts):
+                    expecting_points = False
+                    continue
+            elif not s:
+                continue
+            iid = int(parts[0])
+            qvec = np.array([float(p) for p in parts[1:5]])
+            tvec = np.array([float(p) for p in parts[5:8]])
+            imgs[iid] = ColmapImage(iid, qvec, tvec, int(parts[8]), parts[9])
+            expecting_points = True
     return imgs
 
 

@@ -51,6 +51,43 @@ def test_colmap_text_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(i2[1].tvec, imgs[1].tvec)
 
 
+def test_colmap_images_text_multi_roundtrip(tmp_path, rng):
+    """Regression: write_images_text emits EMPTY points2D rows; the reader
+    must not drop alternate images (4 -> 2 before the fix)."""
+    imgs = {}
+    for i in range(1, 5):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        imgs[i] = colmap.ColmapImage(i, q, rng.normal(size=3), 1,
+                                     f"{i:06d}.png")
+    colmap.write_images_text(str(tmp_path / "images.txt"), imgs)
+    i2 = colmap.read_images_text(str(tmp_path / "images.txt"))
+    assert sorted(i2) == [1, 2, 3, 4]
+    for i in imgs:
+        np.testing.assert_allclose(i2[i].tvec, imgs[i].tvec)
+        assert i2[i].name == imgs[i].name
+
+
+def test_colmap_images_text_mixed_points_rows(tmp_path):
+    """Real COLMAP layout: meta + POINTS2D rows, where zero-observation
+    images have an EMPTY second row; also tolerate writers omitting it."""
+    txt = """# Image list with two lines of data per image
+1 1 0 0 0 0.5 0 0 1 a.png
+10.0 20.0 7 30.0 40.0 -1
+2 1 0 0 0 1.5 0 0 1 b.png
+
+3 1 0 0 0 2.5 0 0 1 c.png
+"""
+    p = str(tmp_path / "images.txt")
+    with open(p, "w") as f:
+        f.write(txt)
+    i2 = colmap.read_images_text(p)
+    assert sorted(i2) == [1, 2, 3]
+    assert [i2[k].name for k in (1, 2, 3)] == ["a.png", "b.png", "c.png"]
+    np.testing.assert_allclose([i2[k].tvec[0] for k in (1, 2, 3)],
+                               [0.5, 1.5, 2.5])
+
+
 def test_qvec_rotmat_roundtrip(rng):
     q = rng.normal(size=4)
     q /= np.linalg.norm(q)

@@ -82,15 +82,34 @@ def main(argv=None):
         imgs.append(cv2.resize(img, (224, 224)).astype(np.float32) / 255.0)
     imgs = np.stack(imgs)
 
+    def augment_blur(x, rng):
+        k = int(rng.integers(1, 4)) * 2 + 1
+        return np.stack([cv2.GaussianBlur(v, (k, k), 0) for v in x])
+
+    params = distill(imgs, teacher_score, steps=args.steps, batch=args.batch,
+                     augment=augment_blur)
+    save_npz(params, args.out)
+    print(f"wrote {args.out}")
+
+
+def distill(imgs, teacher_score, *, steps, batch, seed=0,
+            channels=(16, 32, 64, 128), augment=None, log_every=200):
+    """Fit CnnScorer's convnet to reproduce ``teacher_score`` on ``imgs``.
+
+    ``imgs``: [N, H, W, 3] float32 in [0, 1]; ``teacher_score``: callable
+    [B, H, W, 3] -> [B] (any framework — called outside jit); ``augment``:
+    optional (x, np_rng) -> x applied every other step so the student learns
+    the quality axis rather than the content axis.  Same schema as
+    preprocessing/iqa.CnnScorer (tested in tests/test_iqa_converter.py the
+    way tools/convert_neuralhaircut_ckpt.py's _distill is)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from gaussianhaircut_tpu.preprocessing.iqa import CnnScorer  # noqa: F401 (schema)
-
     params = {k: jnp.asarray(v)
-              for k, v in init_params(jax.random.PRNGKey(0)).items()}
-    n_conv = 4
+              for k, v in init_params(jax.random.PRNGKey(seed),
+                                      channels=channels).items()}
+    n_conv = len(channels)
 
     def forward(params, x):
         for i in range(n_conv):
@@ -110,25 +129,24 @@ def main(argv=None):
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rng = np.random.default_rng(0)
-    for i in range(args.steps):
-        idx = rng.integers(0, len(imgs), args.batch)
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        idx = rng.integers(0, len(imgs), batch)
         x = imgs[idx]
-        # augment with blur/noise so the student learns the quality axis,
-        # not the content axis
-        if i % 2:
-            k = int(rng.integers(1, 4)) * 2 + 1
-            x = np.stack([cv2.GaussianBlur(v, (k, k), 0) for v in x])
-        y = teacher_score(x)
+        if augment is not None and i % 2:
+            x = augment(x, rng)
+        y = np.asarray(teacher_score(x), np.float32)
         params, opt_state, loss = step(params, opt_state, jnp.asarray(x),
                                        jnp.asarray(y))
-        if i % 200 == 0:
+        if log_every and i % log_every == 0:
             print(f"step {i}: mse={float(loss):.4f}", flush=True)
+    return params
 
+
+def save_npz(params, out_path):
     blob = {k: np.asarray(v) for k, v in params.items()}
     blob["kind"] = np.asarray("distilled-hyperiqa")
-    np.savez(args.out, **blob)
-    print(f"wrote {args.out}")
+    np.savez(out_path, **blob)
 
 
 if __name__ == "__main__":
