@@ -73,7 +73,7 @@ def run_config(p, width, height, iters, *, is_headline=False):
             chunk=int(os.environ.get("BENCH_CHUNK", 256)),
             capacity_mult=mult,
             segment_chunks=int(os.environ.get("BENCH_SEG", 4096)),
-            power_mode=os.environ.get("BENCH_POWER", "matmul"),
+            power_mode=os.environ.get("BENCH_POWER", "split3"),
             fwd_acc=os.environ.get("BENCH_FWD_ACC", "bf16x2"),
             bwd_matmul=os.environ.get("BENCH_BWD_MATMUL", "bf16x2"),
             reduce_mode=os.environ.get("BENCH_REDUCE", "rowmajor"))

@@ -75,36 +75,35 @@ class RasterConfig:
                                     # the SMEM scalar-prefetch arrays (a
                                     # single call crashed the worker at ~10k
                                     # chunks); <= 0 means one segment
-    power_mode: str = "matmul"      # matmul | vpu | split2: how the per-
-                                    # (pixel,
-                                    # instance) Gaussian exponent is
-                                    # evaluated.  "matmul" = [PIX, 8] basis @
-                                    # [8, CH] coefficients at HIGHEST (6 bf16
-                                    # MXU passes; the expanded polynomial
-                                    # terms reach ~1e3 so anything cheaper
-                                    # loses absolute precision that feeds
-                                    # exp).  "vpu" = exact f32 elementwise
-                                    # outer-difference quadratic form
-                                    # (dx = gx - px built by broadcast; no
-                                    # cancellation, no MXU) — bit-accurate
-                                    # power at zero MXU cost.  Parity PASSED
-                                    # on hardware but the train step is ~1
-                                    # it/s SLOWER (16.3 vs 17.4, 2026-08-18:
-                                    # the VPU elementwise quadratic costs
-                                    # more than the 6-pass K=8 matmul), so
-                                    # matmul stays the default.  "split2" =
-                                    # 2-pass matmul against the bf16-EXACT
+    power_mode: str = "split3"      # split3 | matmul | vpu | split2: how the
+                                    # per-(pixel, instance) Gaussian exponent
+                                    # is evaluated.  "split3" (DEFAULT,
+                                    # 2026-08-19) = hi+mid+lo coefficient
+                                    # split against the bf16-EXACT
                                     # centered-integer basis (tiles <= 32;
-                                    # see pallas_core._pixel_basis): only
-                                    # the coefficient operand is hi+lo
-                                    # split.  Parity FAILED on hardware
-                                    # (fwd max 0.17 on 25px-sigma tails —
-                                    # coef 2^-17 error feeds exp) — bench
-                                    # 18.15 it/s but NOT usable.  "split3" =
-                                    # hi+mid+lo coef split vs the exact
-                                    # basis: f32-grade (~2^-24), 3 passes
-                                    # (half of HIGHEST).  Gate on hardware
-                                    # before use.
+                                    # see pallas_core._pixel_basis):
+                                    # f32-grade (~2^-24), 3 MXU passes (half
+                                    # of HIGHEST).  Hardware parity gate
+                                    # PASSED at the r2 floor on the
+                                    # 25px-sigma scene that fails split2
+                                    # (fwd p99.9 <= 2.9e-3, grad p99.9 <=
+                                    # 2.2e-3) and the train step runs 16.3
+                                    # -> 18.2 it/s at 100k@960x544.
+                                    # "matmul" = the same [PIX, 8] basis @
+                                    # [8, CH] coefficient matmul at
+                                    # Precision.HIGHEST (6 passes) — the
+                                    # parity oracle.  "vpu" = exact f32
+                                    # elementwise outer-difference quadratic
+                                    # form (dx = gx - px by broadcast; no
+                                    # cancellation, no MXU) — bit-accurate
+                                    # but ~2 it/s slower than split3 (the
+                                    # VPU elementwise quadratic costs more
+                                    # than the K=8 matmuls).  "split2" =
+                                    # 2-pass hi+lo coef split: parity FAILED
+                                    # on hardware (fwd max 0.17 on
+                                    # 25px-sigma tails — the coef 2^-17
+                                    # error feeds exp) — same speed as
+                                    # split3, NOT usable.
     fwd_acc: str = "bf16x2"         # bf16x2 | highest: forward feature-
                                     # compositing matmul w @ colT.  Operands
                                     # are O(1) (w in [0,1], colors in [0,1],
