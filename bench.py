@@ -139,6 +139,10 @@ def run_config(p, width, height, iters, *, is_headline=False):
         "value": round(its, 3),
         "unit": "iters/sec",
         "vs_baseline": round(its / ref, 3),
+        # the denominator is a GUESSED single-GPU proxy, not a measured
+        # reference run (BASELINE.md "Reference speed"): treat vs_baseline
+        # as indicative only
+        "baseline_kind": "proxy-4090-class-15its",
         "mpix_per_sec": round(its * width * height / 1e6, 3),
         "num_rendered": num_rendered,
         "instance_capacity": cap,

@@ -89,6 +89,24 @@ def _basis_exact_bf16(cfg: C.RasterConfig) -> bool:
     return max(cfg.tile_w - hx, hx) * max(cfg.tile_h - hy, hy) <= 256
 
 
+_POWER_MODES = ("matmul", "vpu", "split2", "split3")
+
+
+def _resolve_power_mode(cfg: C.RasterConfig) -> str:
+    """Validated power mode for this config.  split2/split3 rely on the
+    centered-integer pixel basis being bf16-EXACT (tiles <= 32); for larger
+    tiles the bf16 basis cast would silently corrupt the Gaussian exponent,
+    so those modes fall back to the HIGHEST 6-pass matmul path (the same
+    guard the backward moments path applies per-dot)."""
+    mode = cfg.power_mode
+    if mode not in _POWER_MODES:
+        raise ValueError(
+            f"unknown power_mode: {mode!r} (expected one of {_POWER_MODES})")
+    if mode in ("split2", "split3") and not _basis_exact_bf16(cfg):
+        return "matmul"
+    return mode
+
+
 def _coef_matrix(feat, tile_x0, tile_y0, half_x=0, half_y=0):
     """[8, CH] per-instance quadratic coefficients matching `_pixel_basis`
     (both in centered tile-local coordinates: gx/gy are shifted by the tile
@@ -241,10 +259,12 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0,
     elif power_mode == "split3":
         coef = _coef_matrix(feat, tile_x0, tile_y0, half[0], half[1])
         power = _dot_split3_rhs(basis, coef)                            # [PIX, CH]
-    else:
+    elif power_mode == "matmul":
         coef = _coef_matrix(feat, tile_x0, tile_y0, half[0], half[1])
         power = jnp.dot(basis, coef, preferred_element_type=_F32,
                         precision=_HI)                                  # [PIX, CH]
+    else:
+        raise ValueError(f"unknown power_mode: {power_mode!r}")
     op = feat[C.F_OP:C.F_OP + 1, :]
     vld = feat[C.F_VALID:C.F_VALID + 1, :]
     expp = jnp.exp(power)
@@ -386,7 +406,7 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             q = _chunk_blend_quantities(
                 pay_buf_ref[slot, :8, j * sub:(j + 1) * sub], u_ref[:, :],
                 basis_ref[:, :], t_in, done_in, tile_x0, tile_y0,
-                power_mode=cfg.power_mode, half=_half(cfg))
+                power_mode=_resolve_power_mode(cfg), half=_half(cfg))
             # colT rows 10..15 are zero-padded, so += never touches the
             # done/trans lanes
             adims = (((1,), (1,)), ((), ()))
@@ -550,7 +570,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
             q = _chunk_blend_quantities(feat, u_ref[:, :], basis_ref[:, :],
                                         t_in, done_in, tile_x0, tile_y0,
-                                        power_mode=cfg.power_mode,
+                                        power_mode=_resolve_power_mode(cfg),
                                         half=_half(cfg))
 
             # u[pix, i] = sum_ch g[pix, ch] * colT[ch, i]

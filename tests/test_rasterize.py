@@ -490,3 +490,29 @@ def test_bwd_matmul_bf16x2_close_to_highest(scene, cfg):
         scale = np.abs(b).max() + 1e-6
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
                                    err_msg=name)
+
+
+def test_power_mode_validation_and_large_tile_fallback():
+    """ADVICE r3: (a) an unknown power_mode must raise, not silently bench
+    the HIGHEST oracle; (b) split2/split3 rely on a bf16-exact pixel basis
+    (tiles <= 32) and must resolve to the matmul path for larger tiles
+    instead of silently corrupting the exponent."""
+    from gaussianhaircut_tpu.ops.rasterize.pallas_core import (
+        _basis_exact_bf16, _resolve_power_mode)
+
+    small = RasterConfig(tile_w=32, tile_h=32, power_mode="split3")
+    assert _basis_exact_bf16(small)
+    assert _resolve_power_mode(small) == "split3"
+
+    big = RasterConfig(tile_w=64, tile_h=64, power_mode="split3")
+    assert not _basis_exact_bf16(big)
+    assert _resolve_power_mode(big) == "matmul"
+    big2 = RasterConfig(tile_w=64, tile_h=64, power_mode="split2")
+    assert _resolve_power_mode(big2) == "matmul"
+    # vpu/matmul are basis-independent and pass through
+    assert _resolve_power_mode(
+        RasterConfig(tile_w=64, tile_h=64, power_mode="vpu")) == "vpu"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="power_mode"):
+        _resolve_power_mode(RasterConfig(power_mode="splat3"))

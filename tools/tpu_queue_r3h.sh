@@ -3,11 +3,13 @@
 #   1. baseline (committed defaults) — same-session anchor
 #   2. chunk 512
 #   3. power_mode=split2
-#   4. chunk512 + split2 (only if either single knob wins)
+#   (chunk512 + split2 combined is a MANUAL follow-up, only if either
+#   single knob wins — not run by this script)
 # All at the 100k@960x544 bench config, capacity_mult pinned to 8
 # (the right-sized value from BENCH_r02/r03) so each config compiles once.
 set -u
 cd /root/repo
+export PYTHONPATH=/root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 export BENCH_P=100000 BENCH_W=960 BENCH_H=544 BENCH_ITERS=20 BENCH_CAP_MULT=8
