@@ -142,11 +142,25 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
     # range [gauss_offset[g], gauss_offset[g] + gauss_count[g]) (counts are
     # preserved; invalid slots carry gid = P and sort past cap).  The slot
     # tiebreak makes the summation order deterministic.
-    _, order = jax.lax.sort((gid, jnp.arange(s, dtype=jnp.int32)), num_keys=2)
     off = binned.gauss_offset
     cnt = binned.gauss_count
     end = jnp.clip(off + cnt - 1, 0, cap - 1)
-    if cfg.reduce_mode == "featmajor":
+    if cfg.reduce_mode == "scatter":
+        # sort-free: invert the binning permutation carried by Binned.src
+        # (expansion slot per sorted slot; masked slots = cap, dropped).
+        # Within a gaussian both orders ascend by tile id, so the summation
+        # order — and hence the result — is bit-identical to rowmajor.
+        inv = jnp.zeros((cap,), jnp.int32).at[binned.src.reshape(s)].set(
+            jnp.arange(s, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+        g16 = dpay.swapaxes(1, 2).reshape(s, nrow)[inv]
+        csum = jnp.cumsum(g16, axis=0)                            # [cap, 16]
+        seg = csum[end] - jnp.where((off > 0)[:, None],
+                                    csum[jnp.maximum(off - 1, 0)], 0.0)
+        seg = jnp.where((cnt > 0)[:, None], seg, 0.0)             # [P, 16]
+    elif cfg.reduce_mode == "featmajor":
+        _, order = jax.lax.sort((gid, jnp.arange(s, dtype=jnp.int32)),
+                                num_keys=2)
         # instance-minor layout: the dominant [S]-gather and the cumsum move
         # only logical bytes ([16, S] / [16, cap]) instead of rows padded to
         # 128 lanes.  Same summation order as rowmajor (bit-identical).
@@ -159,6 +173,8 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
                            0.0))
         seg = jnp.where((cnt > 0)[None, :], seg, 0.0).T           # [P, 16]
     else:
+        _, order = jax.lax.sort((gid, jnp.arange(s, dtype=jnp.int32)),
+                                num_keys=2)
         g16 = dpay.swapaxes(1, 2).reshape(s, nrow)
         g16 = g16[order[:cap]]
         csum = jnp.cumsum(g16, axis=0)                            # [cap, 16]

@@ -118,16 +118,23 @@ class RasterConfig:
                                     # the full train step 17.08 -> 17.38
                                     # it/s, so it is the default.  "highest"
                                     # = 6-pass exact (the parity oracle).
-    reduce_mode: str = "rowmajor"   # rowmajor | featmajor: layout of the
-                                    # backward per-Gaussian segment reduction.
-                                    # rowmajor gathers [S, 16] rows (each row
-                                    # lane-padded to 128 in HBM); featmajor
-                                    # keeps the instance axis minor ([16, S]
-                                    # take along axis 1 + [16, cap] cumsum),
-                                    # moving only logical bytes.  Bit-identical
-                                    # math (same summation order); pick by
-                                    # measured time (tools/tpu_profile_r3b
-                                    # section B).
+    reduce_mode: str = "rowmajor"   # rowmajor | featmajor | scatter: how the
+                                    # backward per-Gaussian segment reduction
+                                    # recovers expansion order.  rowmajor
+                                    # re-sorts (gid, slot) in the backward and
+                                    # gathers [S, 16] rows; featmajor is the
+                                    # same sort with the instance axis minor;
+                                    # "scatter" carries the expansion slot as
+                                    # an extra VALUE through the forward
+                                    # binning sort (Binned.src) and replaces
+                                    # the backward's 930k-element lax.sort
+                                    # with a 4-byte/slot inverse-permutation
+                                    # scatter + the same row gather.  All
+                                    # three are bit-identical (a gaussian's
+                                    # instances ascend by tile id in both
+                                    # expansion and sorted order, so the
+                                    # permutations coincide); pick by
+                                    # measured time (tools/tpu_profile_r4).
 
     @property
     def tile_pix(self) -> int:
@@ -160,6 +167,11 @@ class Binned(NamedTuple):
     gauss_count: jnp.ndarray     # [P] int32 tiles_touched
     num_rendered: jnp.ndarray    # scalar int32, pre-truncation instance count
     num_tiles: int               # static
+    src: jnp.ndarray | None = None  # [TC, CH] int32 expansion slot per sorted
+                                 # slot (cap if masked), carried through the
+                                 # binning sort when reduce_mode="scatter" —
+                                 # lets the backward invert the permutation
+                                 # without re-sorting
 
 
 class Preprocessed(NamedTuple):
@@ -343,6 +355,10 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     # pattern — depth > NEAR_Z > 0 for every gaussian that owns instances
     dbits_i = expand_i32(
         jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32))
+    # reduce_mode="scatter": the expansion slot index rides the sort as a
+    # VALUE, so the backward can invert the binning permutation with one i32
+    # scatter instead of re-sorting (gid stays a key: the CUDA stable order)
+    carry_src = cfg.reduce_mode == "scatter"
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     if cfg.sort_mode == "packed" and tile_bits <= 11:
         depth_bits = 31 - tile_bits
@@ -350,7 +366,11 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
         dq = jnp.where(inst_valid, dbits_i, jnp.int32(0x7F800000)) >> (31 - depth_bits)
         dq = jnp.clip(dq, 0, (1 << depth_bits) - 1)
         key = tile_id * (1 << depth_bits) + dq
-        key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=2)
+        if carry_src:
+            key_sorted, gid_sorted, src_sorted = jax.lax.sort(
+                (key, gid, iota_cap), num_keys=2)
+        else:
+            key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=2)
         tile_sorted = key_sorted >> depth_bits
         search_keys = jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits
         bounds = jnp.searchsorted(key_sorted, search_keys)
@@ -358,8 +378,12 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
         inst_depth = jnp.where(
             inst_valid,
             jax.lax.bitcast_convert_type(dbits_i, jnp.float32), jnp.inf)
-        tile_sorted, _, gid_sorted = jax.lax.sort(
-            (tile_id, inst_depth, gid), num_keys=3)
+        if carry_src:
+            tile_sorted, _, gid_sorted, src_sorted = jax.lax.sort(
+                (tile_id, inst_depth, gid, iota_cap), num_keys=3)
+        else:
+            tile_sorted, _, gid_sorted = jax.lax.sort(
+                (tile_id, inst_depth, gid), num_keys=3)
         bounds = jnp.searchsorted(tile_sorted,
                                   jnp.arange(num_tiles + 1, dtype=jnp.int32))
 
@@ -409,6 +433,17 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
         lambda s: jax.lax.dynamic_slice(gid_pad, (s,), (ch,)))(starts)
     gid_slot = jnp.where(slot_ok, gid_win, p).astype(jnp.int32)      # [TC, ch]
 
+    src_slot = None
+    if carry_src:
+        # masked tail slots (slot_ok false) duplicate the NEXT tile's sorted
+        # positions, so they must scatter out of range (cap = dropped) — the
+        # true owner chunk writes those expansion slots
+        src_pad = jnp.concatenate([src_sorted,
+                                   jnp.full((ch,), cap, jnp.int32)])
+        src_win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(src_pad, (s,), (ch,)))(starts)
+        src_slot = jnp.where(slot_ok, src_win, cap).astype(jnp.int32)
+
     ncol = 8 + colors.shape[1]                                       # 18
     pack = jnp.concatenate([
         mean_pix, conic, opacity,
@@ -432,7 +467,8 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
                   gid=gid_slot.reshape(total_chunks, ch),
                   gauss_offset=offsets.astype(jnp.int32),
                   gauss_count=pre.tiles_touched,
-                  num_rendered=total.astype(jnp.int32), num_tiles=num_tiles)
+                  num_rendered=total.astype(jnp.int32), num_tiles=num_tiles,
+                  src=src_slot)
 
 
 def assemble_image(tile_buf: jnp.ndarray, bg: jnp.ndarray, width: int,

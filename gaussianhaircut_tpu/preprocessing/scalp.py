@@ -201,14 +201,17 @@ def extract_scalp(flame_mesh_dir: str, data_dir: str, cams_matrices: dict,
 
     # optional canonical scalp restriction (NeuralHaircut topology files)
     uvs = None
+    canonical_ids = None
     if scalp_topology_dir and os.path.exists(
             os.path.join(scalp_topology_dir, "new_scalp_vertex_idx.npy")):
         ids = np.load(os.path.join(scalp_topology_dir, "new_scalp_vertex_idx.npy"))
+        canonical_ids = np.asarray(ids, np.int64)
         canonical = np.zeros(len(head.verts), bool)
-        canonical[ids] = True
+        canonical[canonical_ids] = True
         # symmetrize in the canonical scalp-vertex ordering before cutting
         # (extract_non_visible_head_scalp.py:178-200)
-        scalp_vert_mask[ids] = _apply_scalp_symmetry(scalp_vert_mask[ids])
+        scalp_vert_mask[canonical_ids] = _apply_scalp_symmetry(
+            scalp_vert_mask[canonical_ids])
         scalp_vert_mask &= canonical
         uv_path = os.path.join(scalp_topology_dir, "scalp_uvmap.npy")
         if os.path.exists(uv_path):
@@ -221,6 +224,15 @@ def extract_scalp(flame_mesh_dir: str, data_dir: str, cams_matrices: dict,
     remap[used] = np.arange(len(used))
     scalp_verts = head.verts[used]
     scalp_faces = remap[sub_faces]
+
+    if uvs is not None:
+        # scalp_uvmap.npy rows follow the CANONICAL scalp-vertex ordering
+        # (row k <-> new_scalp_vertex_idx[k], values in [-1, 1]); remap them
+        # to the cut submesh's vertex order (used is a subset of the
+        # canonical ids because scalp_vert_mask was restricted above)
+        row_of = -np.ones(len(head.verts), np.int64)
+        row_of[canonical_ids] = np.arange(len(canonical_ids))
+        uvs = np.asarray(uvs, np.float64)[row_of[used]]
 
     if uvs is None:
         # spherical parameterization of the cut region

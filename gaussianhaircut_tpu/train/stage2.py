@@ -212,6 +212,9 @@ def train_step(state: HairTrainState, head: GaussianFields, pool: ScalpPool,
                   if scfg.use_diffusion else jnp.zeros(()))
         total, parts = stage2_losses(out, gt_image, gt_mask, gt_orient_angle,
                                      gt_orient_conf, l_diff, opt_cfg)
+        # surface the instance count so long runs can detect a silently
+        # truncating (overflowed) static buffer from the metrics stream
+        parts["num_rendered"] = out["num_rendered"].astype(jnp.float32)
         return total, parts
 
     (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -198,8 +198,11 @@ def train_step(state: CurvesTrainState, head: GaussianFields,
         out = render_fields(fields, scfg.sh_degree, cam, bg, raster_cfg)
         l_sds = (sds_loss(params, state.static, prior, scfg, sds_key)
                  if use_sds else jnp.zeros(()))
-        return stage3_losses(out, gt_image, gt_mask, gt_orient_angle,
-                             gt_orient_conf, l_sds, opt_cfg)
+        total, parts = stage3_losses(out, gt_image, gt_mask, gt_orient_angle,
+                                     gt_orient_conf, l_sds, opt_cfg)
+        # surface the instance count (overflow detectability on long runs)
+        parts["num_rendered"] = out["num_rendered"].astype(jnp.float32)
+        return total, parts
 
     (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     ok = optim.grads_are_finite(grads)

@@ -364,6 +364,35 @@ def test_reduce_featmajor_bit_matches_rowmajor(scene, cfg):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_reduce_scatter_bit_matches_rowmajor(scene, cfg):
+    """reduce_mode="scatter" carries the expansion slot through the forward
+    binning sort (Binned.src) and inverts the permutation with one i32
+    scatter instead of the backward's lax.sort.  Within a gaussian both
+    orders ascend by tile id, so the summation order — and the gradients —
+    must be BIT-identical to rowmajor, in both sort modes."""
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean_pix)
+    args = (jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+            jnp.asarray(opacity))
+
+    def run(**kw):
+        c = RasterConfig(**{**cfg.__dict__, "backend": "pallas", **kw})
+
+        def loss(ndc, conic, colors, opacity):
+            out = rasterize(ndc, conic, colors, opacity, jnp.asarray(depth),
+                            jnp.asarray(valid), jnp.asarray(bg), W, H, c)
+            return jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"])
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+
+    for sort_mode in ("packed", "exact"):
+        g0 = run(reduce_mode="rowmajor", sort_mode=sort_mode)
+        g1 = run(reduce_mode="scatter", sort_mode=sort_mode)
+        for a, b in zip(g0, g1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=sort_mode)
+
+
 def _batch_scenes(n=3):
     """n distinct random scenes, stacked [n, P, ...]."""
     scenes = [make_scene(np.random.default_rng(100 + i)) for i in range(n)]

@@ -44,7 +44,66 @@ def init_params(key, channels=(16, 32, 64, 128)):
     return params
 
 
+def selftest() -> int:
+    """Egress-free tool check (CI / pre-flight on the conversion machine):
+    the distillation loop must fit a KNOWN sharpness teacher (Laplacian
+    variance — the quality axis hyperIQA scores) on a synthetic blur corpus,
+    generalize its RANKING to held-out textures, and round-trip through
+    preprocessing.iqa.CnnScorer.  Mirrors tests/test_iqa_converter.py."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tempfile
+
+    import cv2
+    import jax.numpy as jnp
+
+    def lap_var(batch):
+        g = batch.mean(-1)
+        lap = (-4 * g[:, 1:-1, 1:-1] + g[:, :-2, 1:-1] + g[:, 2:, 1:-1]
+               + g[:, 1:-1, :-2] + g[:, 1:-1, 2:])
+        return 100.0 * lap.reshape(len(batch), -1).var(axis=1)
+
+    rng = np.random.default_rng(11)
+    bases = [rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+             for _ in range(6)]
+    sigmas = [0.0, 0.7, 1.4, 2.2, 3.0]
+
+    def blur(img, s):
+        if s <= 0:
+            return img
+        k = 2 * int(3 * s) + 1
+        return cv2.GaussianBlur(img, (k, k), s)
+
+    imgs = np.stack([blur(b, s) for b in bases for s in sigmas])
+    n_sigma = len(sigmas)
+    train, held = imgs[:4 * n_sigma], imgs[4 * n_sigma:]
+
+    params = distill(train, lap_var, steps=260, batch=8, seed=0,
+                     channels=(8, 16, 32), log_every=0)
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "iqa.npz")
+        save_npz(params, out)
+        from gaussianhaircut_tpu.preprocessing.iqa import CnnScorer
+        scorer = CnnScorer(out)
+        s = np.asarray(scorer._fn(scorer.params, jnp.asarray(held)))
+    teach = lap_var(held)
+    # rank agreement (Spearman) on held-out textures
+    r_s = np.argsort(np.argsort(s)).astype(np.float64)
+    r_t = np.argsort(np.argsort(teach)).astype(np.float64)
+    rho = float(np.corrcoef(r_s, r_t)[0, 1])
+    ok = rho > 0.7 and all(
+        s[t * n_sigma] > s[t * n_sigma + n_sigma - 1] for t in range(2))
+    print(f"selftest: rho={rho:.3f} kind={scorer.kind} ->",
+          "OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--selftest" in argv:
+        return selftest()
     ap = argparse.ArgumentParser("convert_hyperiqa")
     ap.add_argument("--hyperiqa_dir", required=True)
     ap.add_argument("--hyperiqa_ckpt", default="pretrained/koniq_pretrained.pkl")
@@ -52,6 +111,8 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--selftest", action="store_true",
+                    help="egress-free tool check (handled before parsing)")
     args = ap.parse_args(argv)
 
     import cv2
@@ -150,4 +211,4 @@ def save_npz(params, out_path):
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -64,8 +64,80 @@ def _distill(flax_module, params, fn_teacher, sample_inputs, steps, batch,
     return params
 
 
+def selftest() -> int:
+    """Egress-free tool check (CI / pre-flight on the conversion machine):
+    (1) the distillation loop fits a KNOWN numpy-MLP teacher into
+    StrandDecoder-shaped flax params out of sample; (2) the prior_io npz
+    schema round-trips the converted pytrees.  Mirrors
+    tests/test_sds.py::test_distill_converges_on_known_teacher."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import tempfile
+
+    import flax.linen as nn
+
+    from gaussianhaircut_tpu.models.prior_io import load_prior, save_prior
+    from gaussianhaircut_tpu.models.strand_prior import (
+        GEOMETRY_DIM, StrandDecoder, StrandEncoder)
+
+    class Student(nn.Module):
+        @nn.compact
+        def __call__(self, z):
+            x = nn.silu(nn.Dense(128)(z))
+            x = nn.silu(nn.Dense(128)(x))
+            return nn.Dense(6)(x)
+
+    rng = np.random.default_rng(0)
+    w1 = rng.normal(scale=0.15, size=(GEOMETRY_DIM, 32)).astype(np.float32)
+    b1 = rng.normal(scale=0.1, size=(32,)).astype(np.float32)
+    w2 = rng.normal(scale=0.4, size=(32, 6)).astype(np.float32)
+
+    def teacher(z):
+        return np.tanh(np.asarray(z) @ w1 + b1) @ w2
+
+    student = Student()
+    params = student.init(jax.random.PRNGKey(1),
+                          np.zeros((1, GEOMETRY_DIM), np.float32))
+    fitted = _distill(student, params, teacher,
+                      lambda r, n: r.normal(size=(n, GEOMETRY_DIM)).astype(
+                          np.float32),
+                      steps=800, batch=256, lr=3e-3, label="selftest")
+    holdout = np.random.default_rng(123).normal(
+        size=(512, GEOMETRY_DIM)).astype(np.float32)
+    pred = np.asarray(student.apply(fitted, holdout))
+    gold = teacher(holdout)
+    rel = float(np.mean((pred - gold) ** 2) / np.mean(gold ** 2))
+
+    # schema roundtrip with the real prior modules
+    length = 16
+    enc = StrandEncoder()
+    dec = StrandDecoder(length=length)
+    prior = {"encoder": enc.init(jax.random.PRNGKey(2),
+                                 np.zeros((1, length, 3), np.float32)),
+             "decoder": dec.init(jax.random.PRNGKey(3),
+                                 np.zeros((1, GEOMETRY_DIM), np.float32))}
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "prior.npz")
+        save_prior(path, prior)
+        back = load_prior(path)
+    import jax.numpy as jnp
+    same = all(bool(jnp.array_equal(a, b)) for a, b in zip(
+        jax.tree_util.tree_leaves(prior), jax.tree_util.tree_leaves(back)))
+    ok = rel < 0.08 and same
+    print(f"selftest: distill rel-mse={rel:.4f} roundtrip={same} ->",
+          "OK" if ok else "FAILED")
+    return 0 if ok else 1
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--selftest" in argv:
+        return selftest()
     ap = argparse.ArgumentParser("convert_neuralhaircut_ckpt")
+    ap.add_argument("--selftest", action="store_true",
+                    help="egress-free tool check (handled before parsing)")
     ap.add_argument("--neuralhaircut_dir", required=True,
                     help="path to the NeuralHaircut clone (for src.hair_networks)")
     ap.add_argument("--strand_ckpt", required=True)
@@ -179,4 +251,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -149,60 +149,17 @@ def run_sds_ablation(args, scfg, radius_scale, t_pts, t_uvs, t_l2w,
     import jax.numpy as jnp
 
     from gaussianhaircut_tpu.config import OptimizationConfig
-    from gaussianhaircut_tpu.models.diffusion import (
-        Denoiser, DiffusionConfig, sds_latent_image)
-    from gaussianhaircut_tpu.models.strand_prior import (
-        GEOMETRY_DIM, StrandEncoder)
     from gaussianhaircut_tpu.train import optim, stage3
+    from gaussianhaircut_tpu.train.prior import distill_strand_prior
 
-    # --- 1. fixed encoder + teacher latent images ---
-    enc = StrandEncoder()
-    L = t_pts.shape[1]
-    enc_params = enc.init(jax.random.PRNGKey(11), jnp.zeros((1, L, 3)))
-    origins = t_pts[:, :1]
-    inv_l2w = jnp.linalg.inv(t_l2w)
-    p_local = jnp.einsum("nij,nlj->nli", inv_l2w, t_pts - origins)
-    z_all = enc.apply(enc_params, p_local * scfg.scale_decoder)[:, :GEOMETRY_DIM]
-    v_local = (p_local[:, 1:] - p_local[:, :-1]) * scfg.scale_decoder
-    uvs_pm1 = jnp.asarray(2.0 * t_uvs - 1.0, jnp.float32)
-
-    n_teacher = t_pts.shape[0]
-    guide = min(1000, n_teacher)
-
-    @jax.jit
-    def teacher_latent(key):
-        idx = jax.random.randint(key, (guide,), 0, n_teacher)
-        return sds_latent_image(z_all[idx], uvs_pm1[idx], v_local[idx],
-                                scfg.diffusion_input)
-
-    # --- 2. train the denoiser on teacher latents ---
-    den = Denoiser(DiffusionConfig(input_channels=GEOMETRY_DIM,
-                                   input_size=scfg.diffusion_input))
-    dparams = den.init(jax.random.PRNGKey(12))
-    dopt = optim.adam_init(dparams)
-
-    @jax.jit
-    def prior_step(dparams, dopt, key):
-        k_lat, k_noise, k_sig = jax.random.split(key, 3)
-        x0 = teacher_latent(k_lat)[None]
-        noise = jax.random.normal(k_noise, x0.shape)
-        sigma = den.sample_density(k_sig, (1,))
-        lval, grads = jax.value_and_grad(
-            lambda p: den.loss(p, x0, noise, sigma))(dparams)
-        ups, dopt = optim.adam_update(grads, dopt, jax.tree.map(
-            lambda _: 1e-4, grads))
-        return jax.tree.map(lambda p, u: p + u, dparams, ups), dopt, lval
-
-    l0 = lN = None
-    for i in range(args.ablate_prior_steps):
-        dparams, dopt, lval = prior_step(dparams, dopt,
-                                         jax.random.PRNGKey(1000 + i))
-        if i == 0:
-            l0 = float(lval)
-    lN = float(lval)
+    # --- 1+2. fixed encoder, denoiser distilled on TEACHER latents
+    # (train/prior.py; the prior provably encodes the teacher distribution) ---
+    prior, pinfo = distill_strand_prior(
+        t_pts, jnp.asarray(t_uvs, jnp.float32), t_l2w, scfg,
+        steps=args.ablate_prior_steps, key=jax.random.PRNGKey(1000))
+    l0, lN = pinfo["prior_loss_start"], pinfo["prior_loss_end"]
     print(f"# ablation prior: denoiser loss {l0:.4f} -> {lN:.4f} "
           f"({args.ablate_prior_steps} steps)", flush=True)
-    prior = {"encoder": enc_params, "denoiser": dparams}
 
     # --- 3. perturb the refined strands ---
     dirs = curves_state.params.dirs
@@ -256,7 +213,27 @@ def main():
     ap.add_argument("--num_strands", type=int, default=2000)
     ap.add_argument("--strand_length", type=int, default=16)
     ap.add_argument("--pool_size", type=int, default=20000)
+    ap.add_argument("--texture_size", type=int, default=128)
+    ap.add_argument("--capacity_mult", type=int, default=12,
+                    help="instance-buffer slots per gaussian; strand-segment "
+                    "gaussians are tiny (1-4 tiles each) so large runs can "
+                    "right-size this well below the stage-1 default")
     ap.add_argument("--use_diffusion", action="store_true")
+    ap.add_argument("--use_sds_stage3", action="store_true",
+                    help="run the COMMITTED stage-3 path with SDS: distill a "
+                    "prior from the stage-2 generator output (train/prior.py) "
+                    "and refine with lambda_dsds, as the reference does with "
+                    "its pretrained prior (run.sh:195, lambda_sds=0.01)")
+    ap.add_argument("--prior_steps", type=int, default=600)
+    ap.add_argument("--lambda_sds3", type=float, default=0.01)
+    ap.add_argument("--ckpt_dir", default="",
+                    help="directory for periodic stage-2/3 checkpoints "
+                    "(long-run resumability)")
+    ap.add_argument("--ckpt_every", type=int, default=1000)
+    ap.add_argument("--resume2", default="",
+                    help="stage-2 checkpoint npz to resume from")
+    ap.add_argument("--resume3", default="",
+                    help="stage-3 checkpoint npz to resume from")
     ap.add_argument("--ablate_sds", action="store_true",
                     help="distill a diffusion prior from the TEACHER strands "
                     "(fixed encoder -> latents -> denoiser), perturb the "
@@ -293,7 +270,7 @@ def main():
     radius_scale = jnp.asarray(6e-4, jnp.float32)
 
     scfg = TexturedStrandsConfig(
-        num_strands=args.num_strands, texture_size=128,
+        num_strands=args.num_strands, texture_size=args.texture_size,
         strand_length=args.strand_length, sh_degree=1,
         pool_size=args.pool_size, use_diffusion=args.use_diffusion)
 
@@ -303,7 +280,8 @@ def main():
     head_model = make_head_model(rng)
     head = stage2.make_head_fields(head_model)
 
-    raster_cfg = RasterConfig(backend="auto", capacity_mult=12)
+    raster_cfg = RasterConfig(backend="auto",
+                              capacity_mult=args.capacity_mult)
     bg = default_background(False)
     cams = make_cameras(args.views + args.test_views, res, res)
 
@@ -315,18 +293,29 @@ def main():
         out = render_fields(fields_gt, scfg.sh_degree, cam, bg, raster_cfg)
         return (jnp.clip(out["render"], 0.0, 1.0),
                 jnp.clip(out["mask"], 0.0, 1.0),
-                jnp.clip(out["orient_angle"], 0.0, 1.0))
+                jnp.clip(out["orient_angle"], 0.0, 1.0),
+                out["num_rendered"])
+
+    n_gauss = int(fields_gt.xyz.shape[0])
+    cap = raster_cfg.instance_capacity(n_gauss)
+    max_rendered = 0
 
     for c in cams:
-        img, mask, angle = jax.device_get(render_gt(
+        img, mask, angle, nr = jax.device_get(render_gt(
             fields_gt, jnp.asarray(c.colmap_transform), jnp.asarray(c.fovx),
             jnp.asarray(c.fovy)))
+        max_rendered = max(max_rendered, int(nr))
         c.image = np.asarray(img)
         c.mask_hair = np.asarray(mask[:1])
         c.mask_body = np.asarray(mask[1:2])
         c.orient_angle = np.asarray(angle)
         c.orient_conf = np.ones((1, res, res), np.float32)
-    print("# GT rendered", flush=True)
+    if max_rendered > cap:
+        raise RuntimeError(
+            f"GT render overflowed the instance buffer: num_rendered "
+            f"{max_rendered} > capacity {cap}; raise --capacity_mult")
+    print(f"# GT rendered (max num_rendered {max_rendered}, capacity {cap}, "
+          f"occupancy {max_rendered / cap:.2f})", flush=True)
 
     class Scene:
         train_cameras = cams[:args.views]
@@ -334,7 +323,7 @@ def main():
 
     model_cfg = ModelConfig()
     pipe_cfg = PipelineConfig()
-    pipe_cfg.instance_capacity_mult = 12
+    pipe_cfg.instance_capacity_mult = args.capacity_mult
     # aleatoric conf off for the same reason as tools/quality_run.py (the
     # -log(conf) reward is unbounded on self-consistent synthetic GT)
     opt2 = OptimizationConfig(iterations=args.iters2, lambda_dmask=0.1,
@@ -342,16 +331,28 @@ def main():
                               train_orient_conf=False)
     log_every = int(os.environ.get("QUALITY_LOG_EVERY", 0))
 
+    cb_t = [time.time()]
+
     def cb(it, state, metrics):
         if log_every and it % log_every == 0:
+            now = time.time()
+            dt, cb_t[0] = now - cb_t[0], now
             print(f"# s2 it={it} total={float(metrics['total']):.4f} "
-                  f"l1={float(metrics['l1']):.4f}", flush=True)
+                  f"l1={float(metrics['l1']):.4f} "
+                  f"nr={float(metrics.get('num_rendered', -1)):.0f} "
+                  f"({log_every / max(dt, 1e-9):.2f} it/s)", flush=True)
 
+    ckpt2 = ()
+    if args.ckpt_dir and args.ckpt_every:
+        ckpt2 = tuple(range(args.ckpt_every, args.iters2 + 1, args.ckpt_every))
     t0 = time.time()
     hair_state = stage2.train(
         model_cfg, opt2, scfg, pipe_cfg, Scene, head_model, pool,
         scene_scale=radius_scale / model_cfg.strand_scale,
-        checkpoint_iterations=(),
+        model_path_hair=(os.path.join(args.ckpt_dir, "stage2")
+                         if args.ckpt_dir else ""),
+        checkpoint_iterations=ckpt2,
+        start_checkpoint=args.resume2 or None,
         progress_callback=cb if log_every else None)
     dt2 = time.time() - t0
     print(f"# stage2: {args.iters2} iters in {dt2:.1f}s "
@@ -424,24 +425,57 @@ def main():
     report["stage3_init_chamfer"] = strand_chamfer(
         stage3.curves_points(params0, static0))
 
+    # SDS in the MAIN stage-3 path (reference: train_strands.py:128-147 with
+    # lambda_sds=0.01, run.sh:195): the prior is self-distilled from the
+    # stage-2 generator output, anchoring refinement to stage-2 geometry.
+    prior3 = None
+    if args.use_sds_stage3:
+        from gaussianhaircut_tpu.train.prior import distill_strand_prior
+        pts0 = stage3.curves_points(params0, static0)
+        t0 = time.time()
+        prior3, pinfo3 = distill_strand_prior(
+            pts0, static0.uvs, static0.local2world, scfg,
+            steps=args.prior_steps, key=jax.random.PRNGKey(2000))
+        print(f"# stage3 prior: denoiser loss "
+              f"{pinfo3['prior_loss_start']} -> {pinfo3['prior_loss_end']} "
+              f"({args.prior_steps} steps, {time.time() - t0:.0f}s)",
+              flush=True)
+        report.update({f"stage3_{k}": v for k, v in pinfo3.items()})
+
     opt3 = OptimizationConfig(iterations=args.iters3, lambda_dmask=0.1,
                               lambda_dorient=0.1, lambda_dssim=0.2,
+                              lambda_dsds=args.lambda_sds3,
                               train_orient_conf=False)
+
+    cb3_t = [time.time()]
 
     def cb3(it, st, metrics):
         if log_every and it % log_every == 0:
+            now = time.time()
+            dt, cb3_t[0] = now - cb3_t[0], now
             delta = float(jnp.abs(st.params.dirs - params0.dirs).max())
             print(f"# s3 it={it} total={float(metrics['total']):.4f} "
                   f"l1={float(metrics['l1']):.4f} "
+                  f"sds={float(metrics.get('sds', 0)):.4f} "
                   f"finite={float(metrics.get('grads_finite', -1)):.0f} "
-                  f"max|d dirs|={delta:.3e}", flush=True)
+                  f"nr={float(metrics.get('num_rendered', -1)):.0f} "
+                  f"max|d dirs|={delta:.3e} "
+                  f"({log_every / max(dt, 1e-9):.2f} it/s)", flush=True)
 
+    ckpt3 = ()
+    if args.ckpt_dir and args.ckpt_every:
+        ckpt3 = tuple(range(args.ckpt_every, args.iters3 + 1, args.ckpt_every))
     t0 = time.time()
     curves_state = stage3.train(
         model_cfg, opt3, scfg, pipe_cfg, Scene, head_model, hair_state.params,
         pool, scene_scale=radius_scale / model_cfg.strand_scale,
-        num_strands=args.num_strands, checkpoint_iterations=(),
-        save_iterations=(), progress_callback=cb3 if log_every else None)
+        num_strands=args.num_strands,
+        model_path_curves=(os.path.join(args.ckpt_dir, "stage3")
+                           if args.ckpt_dir else ""),
+        checkpoint_iterations=ckpt3,
+        start_checkpoint=args.resume3 or None,
+        save_iterations=(), prior=prior3, use_sds=args.use_sds_stage3,
+        progress_callback=cb3 if log_every else None)
     dt3 = time.time() - t0
     print(f"# stage3: {args.iters3} iters in {dt3:.1f}s "
           f"({args.iters3 / dt3:.2f} it/s)", flush=True)
@@ -470,6 +504,9 @@ def main():
                    "strand_length": args.strand_length,
                    "iters2": args.iters2, "iters3": args.iters3,
                    "use_diffusion": args.use_diffusion,
+                   "use_sds_stage3": args.use_sds_stage3,
+                   "lambda_sds3": args.lambda_sds3,
+                   "texture_size": args.texture_size,
                    "backend": jax.default_backend()},
         **report,
         "stage2_iters_per_sec": round(args.iters2 / dt2, 3),

@@ -201,11 +201,30 @@ def reduce_C(eps, dpay, gid, _off, _cnt):
     return chk(out[:P])
 
 
+def reduce_B2_inv_gather(eps, dpay, src, off, cnt):
+    """Scatter only the INVERSE PERMUTATION (i32, 4B/slot) then row-gather:
+    inv[e] = sorted position of expansion slot e; rows move once, in gather
+    form (the pattern the current reduce already uses)."""
+    s = tc0 * cfg0.chunk
+    dpay = dpay + eps
+    inv = jnp.zeros((cap0,), jnp.int32).at[src].set(
+        jnp.arange(s, dtype=jnp.int32), mode="drop", unique_indices=True)
+    g16 = dpay.swapaxes(1, 2).reshape(s, 16)
+    g16 = g16[inv]
+    csum = jnp.cumsum(g16, axis=0)
+    end = jnp.clip(off + cnt - 1, 0, cap0 - 1)
+    seg = csum[end] - jnp.where((off > 0)[:, None],
+                                csum[jnp.maximum(off - 1, 0)], 0.0)
+    return chk(jnp.where((cnt > 0)[:, None], seg, 0.0))
+
+
 run("A_reduce_full", reduce_A, dpay0, b.gid, b.gauss_offset, b.gauss_count)
 run("A_sort_only", reduce_A_sort, b.gid)
 run("A_rest(gather+cumsum)", reduce_A_rest, dpay0, ORDER_E2S,
     b.gauss_offset, b.gauss_count)
 run("B_scatter_rows", reduce_B_scatter_rows, dpay0, SRC_S2E,
+    b.gauss_offset, b.gauss_count)
+run("B2_scatter_inv_gather", reduce_B2_inv_gather, dpay0, SRC_S2E,
     b.gauss_offset, b.gauss_count)
 run("C_scatter_add", reduce_C, dpay0, b.gid, b.gauss_offset, b.gauss_count)
 
@@ -248,4 +267,19 @@ def raster_grad(cfg):
 args_r = (ndc, conic, colors, opacity)
 for ch in (256, 512, 1024):
     run(f"E_rast_grad chunk={ch}", raster_grad(mkcfg(chunk=ch)), *args_r)
+def raster_fwd(cfg):
+    from gaussianhaircut_tpu.ops.rasterize import rasterize
+
+    def f(eps, ndc, conic, colors, opacity):
+        out = rasterize(ndc + eps, conic, colors, opacity, depth, valid,
+                        bg, W, H, cfg)
+        return out["render"].sum()
+    return f
+
+
+run("E_rast_grad scatter", raster_grad(mkcfg(reduce_mode="scatter")), *args_r)
+run("E_rast_grad scatter chunk=512",
+    raster_grad(mkcfg(reduce_mode="scatter", chunk=512)), *args_r)
+run("E_rast_fwd scatter", raster_fwd(mkcfg(reduce_mode="scatter")), *args_r)
+run("E_rast_fwd rowmajor", raster_fwd(mkcfg()), *args_r)
 print("rc=0", flush=True)
