@@ -76,6 +76,11 @@ class OptimizationConfig:
     gaussian_pruning_threshold: float = 0.5
     train_orient_conf: bool = True
     use_gt_orient_conf: bool = True
+    # TPU-framework addition (stage 2/3 hair trainers only; stage 1 ignores
+    # it): global-norm gradient clip.  0 disables.  The reference runs
+    # unclipped but optimizes a PRETRAINED strand decoder; training the
+    # decoder from scratch needs this — see optim.clip_by_global_norm.
+    hair_grad_clip: float = 1.0
 
 
 @dataclass

@@ -136,7 +136,10 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
     tc, nrow, ch = dpay.shape
     s = tc * ch
     p = binned.gauss_offset.shape[0]
-    cap = cfg.instance_capacity(p)
+    # derive the instance capacity from the chunk layout itself
+    # (total_chunks = cap // ch + num_tiles) — the batched path may round
+    # cap up to a per-camera chunk-aligned split
+    cap = (tc - binned.num_tiles) * ch
     gid = binned.gid.reshape(s)
     # slots sorted by (gid, slot) -> gaussian g's slots land in the contiguous
     # range [gauss_offset[g], gauss_offset[g] + gauss_count[g]) (counts are
@@ -276,18 +279,28 @@ def rasterize_batched(ndc: jnp.ndarray, conic: jnp.ndarray,
                       cfg: C.RasterConfig | None = None) -> dict[str, Any]:
     """Batched-camera splatting: every input gains a leading camera axis B
     and all B cameras composite in ONE binning + kernel sweep over a virtual
-    grid of B * tiles (the single-chip batched train step; amortizes every
-    fixed per-call cost).  The CUDA reference is strictly 1 camera/iteration
+    grid of B * tiles.  The CUDA reference is strictly 1 camera/iteration
     (train_gaussians.py:103-105) — a GPU-loop limitation, not a contract.
+
+    Binning is per-camera SEGMENTED (common._bin_instances_batched): each
+    camera owns a chunk-aligned [cap/B] slice of the instance buffer and the
+    sort runs independently per slice, so per-camera binning cost matches the
+    single-camera step (the earlier single-stream layout made the sort
+    superlinear in B — B=4 measured 4.75x the B=1 step).  What batching
+    amortizes is the per-CALL fixed cost (dispatch, host sync, grid setup),
+    not the per-camera kernel work.
 
     Inputs: ndc [B, P, 3], conic [B, P, 3], colors [B, P, 10],
     opacity [B, P, 1], depth [B, P], valid [B, P], bg [10].
     Returns dict with render [B, 10, H, W], final_T [B, H, W], radii [B, P],
-    visibility [B, P], num_rendered (scalar, total across the batch —
-    capacity also scales with B, so occupancy semantics are unchanged).
+    visibility [B, P], num_rendered (scalar, B * max per-camera count —
+    conservative, because capacity and truncation are per camera under the
+    segmented layout; occupancy/overflow checks against B*P-scaled capacity
+    stay sound).
 
     NOTE: ``cfg.capacity_mult`` (and ``cfg.capacity``) are interpreted
-    per-Gaussian as usual; the instance buffer is sized against B * P rows.
+    per-Gaussian as usual; the instance buffer is sized against B * P rows,
+    rounded up to a per-camera chunk-aligned split.
     """
     cfg = cfg or C.RasterConfig()
     b, p = ndc.shape[:2]

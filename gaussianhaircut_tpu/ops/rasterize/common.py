@@ -284,6 +284,9 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
             (jnp.arange(n_batch, dtype=jnp.int32) * gy_grid)[:, None],
             (n_batch, p // n_batch)).reshape(p)
         rmin_y = rmin_y + row_base
+        return _bin_instances_batched(
+            pre, mean_pix, conic, opacity, colors, depth, width, height, cfg,
+            n_batch, (rmin_x, rmin_y, rmax_x, rmax_y))
     offsets = (jnp.cumsum(pre.tiles_touched)
                - pre.tiles_touched).astype(jnp.int32)              # exclusive
     total = offsets[-1] + pre.tiles_touched[-1]
@@ -392,6 +395,18 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     # histogram here costs ~20ms on TPU; two searchsorted passes are ~free)
     counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
     tile_start = bounds[:-1].astype(jnp.int32)                     # packed starts
+    return _chunk_layout(pre, mean_pix, conic, opacity, colors, counts,
+                         tile_start, gid_sorted,
+                         src_sorted if carry_src else None,
+                         offsets, total, p, cap, ch, num_tiles)
+
+
+def _chunk_layout(pre, mean_pix, conic, opacity, colors, counts, tile_start,
+                  gid_sorted, src_sorted, gauss_offset, total, p, cap, ch,
+                  num_tiles) -> Binned:
+    """Shared chunk-aligned layout + payload materialization: sorted streams
+    (flat [>= cap]) -> Binned.  ``tile_start`` holds each tile's position in
+    the flat sorted stream (per-camera base included in the batched path)."""
     nchunks = jnp.maximum(1, -(-counts // ch))
     chunk_start = jnp.cumsum(nchunks) - nchunks                    # chunk index per tile
     total_chunks = cap // ch + num_tiles                           # static upper bound
@@ -434,7 +449,7 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     gid_slot = jnp.where(slot_ok, gid_win, p).astype(jnp.int32)      # [TC, ch]
 
     src_slot = None
-    if carry_src:
+    if src_sorted is not None:
         # masked tail slots (slot_ok false) duplicate the NEXT tile's sorted
         # positions, so they must scatter out of range (cap = dropped) — the
         # true owner chunk writes those expansion slots
@@ -465,10 +480,135 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     return Binned(payload=payload, tile_of_chunk=tile_of_chunk,
                   chunk_in_tile=chunk_in_tile,
                   gid=gid_slot.reshape(total_chunks, ch),
-                  gauss_offset=offsets.astype(jnp.int32),
+                  gauss_offset=gauss_offset.astype(jnp.int32),
                   gauss_count=pre.tiles_touched,
                   num_rendered=total.astype(jnp.int32), num_tiles=num_tiles,
                   src=src_slot)
+
+
+def _bin_instances_batched(pre, mean_pix, conic, opacity, colors, depth,
+                           width, height, cfg: RasterConfig, n_batch: int,
+                           rect) -> Binned:
+    """Batched-camera binning: per-camera SEGMENTED expansion and sort.
+
+    The flattened [B*P] layout sorted as one stream made the batched step's
+    sort superlinear in B (measured: B=4 cost 4.75x the B=1 step, defeating
+    the amortization rasterize_batched promises).  Here each camera owns a
+    chunk-aligned slice of the instance buffer ([B, cap_b]) and
+    ``jax.lax.sort`` sorts the B slices INDEPENDENTLY along the last axis —
+    per-camera cost identical to single-camera, perfectly linear in B.  Tile
+    ids stay global (camera b's rows shifted by b*gy, see bin_instances), so
+    the concatenated per-camera sorted streams feed the same chunk layout and
+    kernels.
+
+    num_rendered is reported as B * max_b(count_b): capacity and truncation
+    are PER CAMERA under this layout, so the conservative bound keeps the
+    callers' ``num_rendered > capacity`` overflow checks sound.
+    """
+    p = pre.mean_pix.shape[0]
+    pb = p // n_batch
+    gx_grid, gy_grid = cfg.grid(width, height)
+    tpc = gx_grid * gy_grid                     # tiles per camera
+    num_tiles = n_batch * tpc
+    ch = cfg.chunk
+    capb = -(-cfg.instance_capacity(p) // (n_batch * ch)) * ch
+    cap = capb * n_batch
+    rmin_x, rmin_y, rmax_x, rmax_y = rect
+
+    tt2 = pre.tiles_touched.reshape(n_batch, pb)
+    off2 = (jnp.cumsum(tt2, axis=1) - tt2).astype(jnp.int32)     # per-camera
+    totals = off2[:, -1] + tt2[:, -1]                            # [B]
+    base = jnp.cumsum(totals) - totals                           # contiguous
+    iota_capb = jnp.broadcast_to(jnp.arange(capb, dtype=jnp.int32)[None, :],
+                                 (n_batch, capb))
+
+    def expand2(vals):
+        """[P]-like -> [B, capb] via per-camera delta scatter + row cumsum
+        (the expand_i32 trick, batched)."""
+        vals = vals.astype(jnp.int32).reshape(n_batch, pb)
+        d = vals - jnp.roll(vals, 1, axis=1).at[:, 0].set(0)
+        scat = jax.vmap(
+            lambda z, o, dd: z.at[o].add(dd, mode="drop"))(
+                jnp.zeros((n_batch, capb), jnp.int32), off2, d)
+        return jnp.cumsum(scat, axis=1)
+
+    rect_w = jnp.maximum(rmax_x - rmin_x, 1).astype(jnp.int32)
+    bw = max(int(gx_grid).bit_length(), 1)
+    by = max(int(n_batch * gy_grid).bit_length(), 1)
+    if 2 * bw + by <= 31:
+        geo = (rect_w << (bw + by)) | (rmin_x.astype(jnp.int32) << by) \
+            | rmin_y.astype(jnp.int32)
+        geo_i = expand2(geo)
+        rw = geo_i >> (bw + by)
+        rx = (geo_i >> by) & ((1 << bw) - 1)
+        ry = geo_i & ((1 << by) - 1)
+    else:
+        geo_i = expand2((rect_w << bw) | rmin_x.astype(jnp.int32))
+        rw = geo_i >> bw
+        rx = geo_i & ((1 << bw) - 1)
+        ry = expand2(rmin_y)
+    off_i = expand2(off2.reshape(p))
+    gid = expand2(jnp.arange(p, dtype=jnp.int32))
+    inst_valid = iota_capb < totals[:, None]
+    within = iota_capb - off_i
+    q = jnp.floor((within.astype(jnp.float32) + 0.5)
+                  / rw.astype(jnp.float32)).astype(jnp.int32)
+    tile_x = rx + (within - q * rw)
+    tile_y = ry + q
+    tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x,
+                        num_tiles).astype(jnp.int32)
+
+    dbits_i = expand2(
+        jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32))
+    carry_src = cfg.reduce_mode == "scatter"
+    # src carries CONTIGUOUS global expansion indices so gauss_offset (the
+    # contiguous cumsum) stays the segment key for every reduce_mode
+    src_iota = base[:, None] + iota_capb
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    cam_rows = jnp.arange(n_batch, dtype=jnp.int32)[:, None]
+    if cfg.sort_mode == "packed" and tile_bits <= 11:
+        depth_bits = 31 - tile_bits
+        dq = jnp.where(inst_valid, dbits_i,
+                       jnp.int32(0x7F800000)) >> (31 - depth_bits)
+        dq = jnp.clip(dq, 0, (1 << depth_bits) - 1)
+        key = tile_id * (1 << depth_bits) + dq
+        # lax.sort sorts each leading-axis slice independently: B per-camera
+        # sorts in one op, no cross-camera key traffic
+        if carry_src:
+            key_sorted, gid_sorted, src_sorted = jax.lax.sort(
+                (key, gid, src_iota), num_keys=2, dimension=1)
+        else:
+            key_sorted, gid_sorted = jax.lax.sort((key, gid), num_keys=2,
+                                                  dimension=1)
+            src_sorted = None
+        search = (jnp.arange(tpc + 1, dtype=jnp.int32)[None, :]
+                  + cam_rows * tpc) << depth_bits
+        bounds = jax.vmap(jnp.searchsorted)(key_sorted, search)  # [B, tpc+1]
+    else:
+        inst_depth = jnp.where(
+            inst_valid,
+            jax.lax.bitcast_convert_type(dbits_i, jnp.float32), jnp.inf)
+        if carry_src:
+            tile_sorted, _, gid_sorted, src_sorted = jax.lax.sort(
+                (tile_id, inst_depth, gid, src_iota), num_keys=3, dimension=1)
+        else:
+            tile_sorted, _, gid_sorted = jax.lax.sort(
+                (tile_id, inst_depth, gid), num_keys=3, dimension=1)
+            src_sorted = None
+        search = (jnp.arange(tpc + 1, dtype=jnp.int32)[None, :]
+                  + cam_rows * tpc)
+        bounds = jax.vmap(jnp.searchsorted)(tile_sorted, search)
+
+    counts = (bounds[:, 1:] - bounds[:, :-1]).astype(jnp.int32).reshape(
+        num_tiles)
+    tile_start = (bounds[:, :-1].astype(jnp.int32)
+                  + cam_rows * capb).reshape(num_tiles)
+    gauss_offset = (off2 + base[:, None]).reshape(p)             # contiguous
+    total = n_batch * jnp.max(totals)                            # conservative
+    return _chunk_layout(pre, mean_pix, conic, opacity, colors, counts,
+                         tile_start, gid_sorted.reshape(cap),
+                         src_sorted.reshape(cap) if carry_src else None,
+                         gauss_offset, total, p, cap, ch, num_tiles)
 
 
 def assemble_image(tile_buf: jnp.ndarray, bg: jnp.ndarray, width: int,

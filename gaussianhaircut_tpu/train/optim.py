@@ -120,6 +120,26 @@ def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: float = 0,
     return jnp.where(step < 0, 0.0, delay * log_lerp)
 
 
+def clip_by_global_norm(grads, max_norm: float):
+    """Global-norm gradient clipping (torch.nn.utils.clip_grad_norm_
+    semantics).  Returns (clipped_grads, global_norm).
+
+    The reference's stage-2/3 optimizers run unclipped — but they optimize a
+    PRETRAINED NeuralHaircut strand decoder (hair_strands_textured.yaml
+    decoder_checkpoint_path, gaussian_model_latent_strands.py:99-104), whose
+    latent->strand map is already smooth.  This framework trains the decoder
+    from scratch, and measured at the reference operating point (L=100,
+    10k strands, 512 px; runs/r4 metrics.jsonl) a single bad-view gradient
+    spike at ~iter 940 — amplified by Adam's stale second moment — blew the
+    hair mask loss up 0.11 -> 0.67 with a ~60% instance-count jump and no
+    recovery for 600+ iters.  Clipping neutralizes exactly that event class;
+    NaN-guard step skipping (grads_are_finite) is unchanged."""
+    leaves = jax.tree.leaves(grads)
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+    return jax.tree.map(lambda g: g * scale, grads), gnorm
+
+
 def grads_are_finite(grads) -> jnp.ndarray:
     """True iff every gradient entry is finite — the NaN-guard that skips the
     whole step like train_gaussians.py:175-178."""

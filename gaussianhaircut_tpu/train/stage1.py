@@ -228,10 +228,12 @@ def train_step_batched(state: TrainState, cam_batch: CameraBatch, gt: GtBatch,
                        white_background: bool, n_batch: int):
     """Batched-camera train step: B cameras composited in ONE rasterizer
     sweep (rasterize_batched), one Adam step on the camera-MEAN parameter
-    gradient.  Amortizes every fixed per-call cost (binning sort, kernel
-    launch, losses, Adam) over B views — the TPU-native replacement for the
-    reference's strictly-1-camera iteration loop (train_gaussians.py:103-105;
-    a GPU-loop limitation, not a contract).
+    gradient.  Binning is per-camera segmented (see rasterize_batched), so
+    per-camera kernel/sort work matches the B=1 step and what batching
+    amortizes is the per-CALL fixed cost (dispatch, host sync, losses, Adam)
+    — the TPU-native replacement for the reference's strictly-1-camera
+    iteration loop (train_gaussians.py:103-105; a GPU-loop limitation, not a
+    contract).  Mirrors mesh data-parallel semantics on one chip.
 
     Semantics mirror parallel/data_parallel.dp_train_step exactly (parameter
     grads pmean-equivalent, camera-residual rows and densify statistics at
@@ -609,7 +611,9 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     camera_batch: B > 1 (single-chip only) composites B distinct cameras per
     iteration in ONE rasterizer sweep (train_step_batched) — same gradient
     semantics as mesh data-parallelism (camera-mean param grads, full-
-    strength per-camera densify stats), amortizing fixed per-step costs.
+    strength per-camera densify stats), amortizing per-call fixed costs
+    (per-camera kernel/sort work scales linearly: per-camera segmented
+    binning, see rasterize_batched).
     """
     cams = scene.train_cameras
     assert cams, "no training cameras"

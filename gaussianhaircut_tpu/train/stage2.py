@@ -104,6 +104,17 @@ def diffusion_loss(params: dict, scfg: TexturedStrandsConfig, key,
     dp = denoiser_params if denoiser_params is not None else params["denoiser"]
     g = scfg.geometry_descriptor_size
     tex = params["texture"][:, :, :g]
+    if denoiser_params is None:
+        # SELF-trained denoiser: learn the texture's latent distribution but
+        # do NOT drag the texture toward the denoiser's moving manifold — a
+        # from-scratch denoiser's early loss is huge and destabilizes stage 2
+        # (measured at the L=100/10k-strand operating point: lambda 0.01 *
+        # L_diff spiked the total to 4.25 and instance count 2.1M -> 9.3M
+        # with rising image loss).  The reference's texture-regularizing
+        # gradient comes from a PRETRAINED/EMA denoiser (model_ema,
+        # gaussian_model_latent_strands.py:501-513); that pull applies here
+        # only when converted denoiser weights are supplied (frozen dp).
+        tex = jax.lax.stop_gradient(tex)
     t = scfg.texture_size // scfg.diffusion_input
     latent = tex.reshape(scfg.diffusion_input, t, scfg.diffusion_input, t, g)
     latent = latent.mean(axis=(1, 3))[None]            # [1, D, D, 64]
@@ -220,6 +231,9 @@ def train_step(state: HairTrainState, head: GaussianFields, pool: ScalpPool,
     (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
 
     ok = optim.grads_are_finite(grads)
+    if opt_cfg.hair_grad_clip > 0:
+        grads, gnorm = optim.clip_by_global_norm(grads, opt_cfg.hair_grad_clip)
+        parts["grad_norm"] = gnorm
     # cosine LR (CosineAnnealingLR(T_max=iters, eta_min=1e-4),
     # gaussian_model_latent_strands.py:519)
     t = state.step.astype(jnp.float32)

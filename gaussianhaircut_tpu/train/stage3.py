@@ -206,6 +206,9 @@ def train_step(state: CurvesTrainState, head: GaussianFields,
 
     (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     ok = optim.grads_are_finite(grads)
+    if opt_cfg.hair_grad_clip > 0:
+        grads, gnorm = optim.clip_by_global_norm(grads, opt_cfg.hair_grad_clip)
+        parts["grad_norm"] = gnorm
     lrs = param_lrs(opt_cfg, spatial_lr_scale, state.step)
     updates, new_opt = optim.adam_update(grads, state.opt, lrs)
     # jnp.where, NOT keep * u (0 * NaN = NaN would destroy the params)

@@ -82,11 +82,13 @@ def test_stage1_self_reconstruction_floor():
         height=res, raster_cfg=raster_cfg, model_cfg=model_cfg, name="test")
     psnr = float(report["test_psnr"])
     print(f"quality gate: test PSNR {psnr:.2f} dB")
-    # floor = calibrated run minus ~1.5 dB margin (2026-08-17: 600-iter jnp
-    # run scores recorded in the commit adding this test)
+    # floor = demonstrated score at THIS config minus 3 dB (calibrated
+    # 2026-08-19: the 600-iter jnp run scores 34.27 dB).  VERDICT r3 weak #6:
+    # the old 24 dB floor sat 10 dB under demonstrated quality, so a severe
+    # regression (the gid-denormal bug cost ~12 dB) could pass; 31 dB bites.
     assert psnr >= QUALITY_FLOOR_DB, (
         f"stage-1 self-reconstruction {psnr:.2f} dB fell below the "
         f"{QUALITY_FLOOR_DB} dB gate — a quality regression shipped")
 
 
-QUALITY_FLOOR_DB = 24.0
+QUALITY_FLOOR_DB = 31.0

@@ -46,6 +46,12 @@ def test_stage3_sds_loss_grads():
 
 
 def test_stage2_diffusion_loss():
+    """Gradient routing contract of the stage-2 L_diff term: a SELF-trained
+    denoiser learns the texture distribution but must not pull the texture
+    (a from-scratch denoiser's early loss destabilized the L=100/10k run:
+    instance bloat + rising image loss); the texture-regularizing gradient
+    only applies with FROZEN (converted pretrained) denoiser weights, like
+    the reference's model_ema (gaussian_model_latent_strands.py:501-513)."""
     scfg = TexturedStrandsConfig(num_strands=8, texture_size=16,
                                  strand_length=8, sh_degree=1,
                                  diffusion_input=4, pool_size=100,
@@ -55,7 +61,21 @@ def test_stage2_diffusion_loss():
     assert np.isfinite(float(val))
     g = jax.grad(lambda p: stage2.diffusion_loss(p, scfg, jax.random.PRNGKey(1)))(
         state.params)
-    assert bool(jnp.all(jnp.isfinite(g["texture"])))
+    # self-prior: denoiser trains, texture untouched
+    assert float(jnp.abs(g["texture"]).max()) == 0.0
+    dnorm = sum(float(jnp.abs(x).sum())
+                for x in jax.tree_util.tree_leaves(g["denoiser"]))
+    assert np.isfinite(dnorm) and dnorm > 0.0
+
+    # frozen pretrained denoiser: the texture IS regularized
+    frozen = state.params["denoiser"]
+    params_nodenoiser = {k: v for k, v in state.params.items()
+                         if k != "denoiser"}
+    g2 = jax.grad(lambda p: stage2.diffusion_loss(
+        p, scfg, jax.random.PRNGKey(1), denoiser_params=frozen))(
+            params_nodenoiser)
+    assert float(jnp.abs(g2["texture"]).max()) > 0.0
+    assert bool(jnp.all(jnp.isfinite(g2["texture"])))
 
 
 def _mini_prior(scfg, key=3):

@@ -97,6 +97,40 @@ def test_stage2_step_runs_and_updates():
     assert not np.allclose(np.asarray(state.params["texture"]), tex0)
 
 
+def test_hair_grad_clip_bounds_update():
+    """Global-norm clipping contract (optim.clip_by_global_norm): the hair
+    stages clip at opt_cfg.hair_grad_clip — the defense against the measured
+    iter-940 Adam spike blow-up at the reference operating point (runs/r4
+    metrics.jsonl: mask loss 0.11 -> 0.67, never recovered).  The reference
+    runs unclipped but optimizes a PRETRAINED decoder
+    (gaussian_model_latent_strands.py:99-104); ours trains from scratch."""
+    from gaussianhaircut_tpu.train import optim
+
+    grads = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.asarray([[12.0]])}
+    clipped, gnorm = optim.clip_by_global_norm(grads, 1.0)
+    assert abs(float(gnorm) - 13.0) < 1e-5
+    cn = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                      for g in jax.tree.leaves(clipped)))
+    assert abs(float(cn) - 1.0) < 1e-5
+    # below the threshold: untouched
+    same, _ = optim.clip_by_global_norm(grads, 100.0)
+    np.testing.assert_allclose(np.asarray(same["a"]), np.asarray(grads["a"]))
+
+    # wired into the stage-2 step: grad_norm surfaced, step still updates
+    (res, scfg, pool, head, cam_batch, gt_image, gt_mask, gt_oa, gt_oc,
+     raster_cfg, opt_cfg) = _toy_setup()
+    assert opt_cfg.hair_grad_clip > 0          # default ON for hair stages
+    state = stage2.init_hair_state(scfg, jax.random.PRNGKey(0))
+    tex0 = np.asarray(state.params["texture"]).copy()
+    state, metrics = stage2.train_step(
+        state, head, pool, cam_batch, gt_image, gt_mask, gt_oa, gt_oc,
+        jnp.asarray(0), None, jnp.asarray(1e-3),
+        scfg=scfg, width=res, height=res, raster_cfg=raster_cfg,
+        opt_cfg=opt_cfg, white_background=False)
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert not np.allclose(np.asarray(state.params["texture"]), tex0)
+
+
 def test_stage3_step_runs_and_updates(tmp_path):
     (res, scfg, pool, head, cam_batch, gt_image, gt_mask, gt_oa, gt_oc,
      raster_cfg, opt_cfg) = _toy_setup()
