@@ -226,6 +226,11 @@ def main():
                     "its pretrained prior (run.sh:195, lambda_sds=0.01)")
     ap.add_argument("--prior_steps", type=int, default=600)
     ap.add_argument("--lambda_sds3", type=float, default=0.01)
+    ap.add_argument("--spatial_lr3", type=float, default=1.0,
+                    help="stage-3 spatial_lr_scale; at L=100 segments are "
+                    "~8e-4 units and the default xyz schedule moves dirs "
+                    "multiple segment-lengths early — shrink if stage 3 "
+                    "degrades PSNR (NOTES_ROUND4 watch item)")
     ap.add_argument("--ckpt_dir", default="",
                     help="directory for periodic stage-2/3 checkpoints "
                     "(long-run resumability)")
@@ -475,6 +480,7 @@ def main():
         checkpoint_iterations=ckpt3,
         start_checkpoint=args.resume3 or None,
         save_iterations=(), prior=prior3, use_sds=args.use_sds_stage3,
+        spatial_lr_scale=args.spatial_lr3,
         progress_callback=cb3 if log_every else None)
     dt3 = time.time() - t0
     print(f"# stage3: {args.iters3} iters in {dt3:.1f}s "

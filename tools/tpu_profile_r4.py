@@ -67,8 +67,9 @@ ndc, conic, colors, opacity, depth, valid = jax.block_until_ready(
 
 
 def mkcfg(**kw):
+    kw.setdefault("chunk", 256)
     return RasterConfig(backend="pallas", capacity_mult=8, sort_mode="packed",
-                        chunk=256, bwd_matmul="bf16x2", **kw)
+                        bwd_matmul="bf16x2", **kw)
 
 
 cfg0 = mkcfg()
