@@ -76,7 +76,8 @@ def run_config(p, width, height, iters, *, is_headline=False):
             power_mode=os.environ.get("BENCH_POWER", "split3"),
             fwd_acc=os.environ.get("BENCH_FWD_ACC", "bf16x2"),
             bwd_matmul=os.environ.get("BENCH_BWD_MATMUL", "bf16x2"),
-            reduce_mode=os.environ.get("BENCH_REDUCE", "rowmajor"))
+            reduce_mode=os.environ.get("BENCH_REDUCE", "rowmajor"),
+            pair_cull=bool(int(os.environ.get("BENCH_PAIR_CULL", "0"))))
 
     # probe at a generous capacity, then right-size to the measured instance
     # count + headroom (the bench analog of the trainer's auto-grow: capacity

@@ -145,18 +145,29 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
     # range [gauss_offset[g], gauss_offset[g] + gauss_count[g]) (counts are
     # preserved; invalid slots carry gid = P and sort past cap).  The slot
     # tiebreak makes the summation order deterministic.
-    off = binned.gauss_offset
-    cnt = binned.gauss_count
+    if binned.gauss_count_live is not None and cfg.reduce_mode != "scatter":
+        # pair_cull: each gaussian owns only its LIVE (post-cull) slots in
+        # the (gid, slot)-sorted stream; the pre-cull offsets would shift
+        # every segment after the first culled pair
+        cnt = binned.gauss_count_live
+        off = jnp.cumsum(cnt) - cnt
+    else:
+        off = binned.gauss_offset
+        cnt = binned.gauss_count
     end = jnp.clip(off + cnt - 1, 0, cap - 1)
     if cfg.reduce_mode == "scatter":
         # sort-free: invert the binning permutation carried by Binned.src
         # (expansion slot per sorted slot; masked slots = cap, dropped).
         # Within a gaussian both orders ascend by tile id, so the summation
         # order — and hence the result — is bit-identical to rowmajor.
-        inv = jnp.zeros((cap,), jnp.int32).at[binned.src.reshape(s)].set(
+        # Expansion slots whose pair was culled never reach a chunk window;
+        # they keep the default index s, which reads the appended zero row
+        # (scatter segments stay in PRE-cull expansion order).
+        inv = jnp.full((cap,), s, jnp.int32).at[binned.src.reshape(s)].set(
             jnp.arange(s, dtype=jnp.int32), mode="drop",
             unique_indices=True)
-        g16 = dpay.swapaxes(1, 2).reshape(s, nrow)[inv]
+        g16 = jnp.pad(dpay.swapaxes(1, 2).reshape(s, nrow),
+                      ((0, 1), (0, 0)))[inv]
         csum = jnp.cumsum(g16, axis=0)                            # [cap, 16]
         seg = csum[end] - jnp.where((off > 0)[:, None],
                                     csum[jnp.maximum(off - 1, 0)], 0.0)

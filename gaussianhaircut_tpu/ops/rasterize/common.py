@@ -118,6 +118,21 @@ class RasterConfig:
                                     # the full train step 17.08 -> 17.38
                                     # it/s, so it is the default.  "highest"
                                     # = 6-pass exact (the parity oracle).
+    pair_cull: bool = False         # exact per-(gaussian, tile) opacity cull
+                                    # at binning time: a pair whose MINIMUM
+                                    # conic quadratic over the tile's pixel
+                                    # rect exceeds 2 ln(255 op) has alpha <
+                                    # 1/255 at every pixel, which both
+                                    # kernels skip (forward.cu:366-368 /
+                                    # backward.cu alpha test) — dropping it
+                                    # is output- and gradient-exact while
+                                    # cutting instance counts beyond the
+                                    # exact-skip AABB (the AABB keeps the
+                                    # ellipse's corner tiles; this removes
+                                    # them).  Bits ride ONE extra integer
+                                    # expansion chain; pairs whose row-major
+                                    # rect index >= 31 (huge rects) are
+                                    # conservatively kept.
     reduce_mode: str = "rowmajor"   # rowmajor | featmajor | scatter: how the
                                     # backward per-Gaussian segment reduction
                                     # recovers expansion order.  rowmajor
@@ -172,6 +187,13 @@ class Binned(NamedTuple):
                                  # binning sort when reduce_mode="scatter" —
                                  # lets the backward invert the permutation
                                  # without re-sorting
+    gauss_count_live: jnp.ndarray | None = None  # [P] int32 POST-pair-cull
+                                 # instance count (None when pair_cull is
+                                 # off): the (gid, slot)-sorted reduce's
+                                 # segment lengths — culled pairs never
+                                 # reach a chunk window, so gauss_count
+                                 # would misalign every segment after the
+                                 # first culled pair
 
 
 class Preprocessed(NamedTuple):
@@ -251,6 +273,83 @@ def preprocess(mean_pix: jnp.ndarray, conic: jnp.ndarray, depth: jnp.ndarray,
     return Preprocessed(mean_pix, radius, tiles_touched, bin_rect, bin_valid)
 
 
+# Static per-axis extent of the pair-cull bit window: tiles at rect positions
+# (r, q) with r < _CULL_RQ, q < _CULL_RQ and row-major index q*rect_w + r < 31
+# get an exact cull bit; everything beyond is conservatively kept.  6x6 covers
+# every rect the exact-skip radius produces at bench scale (avg ~7 tiles).
+_CULL_RQ = 6
+_CULL_MARGIN = 1e-3  # q-units (~5e-4 in the exponent): the kernels evaluate
+                     # the quadratic via split3 matmuls (~1e-5 absolute); the
+                     # margin keeps borderline alpha = 1/255 pixels culled
+                     # only when they are provably below threshold
+
+
+def _min_quad_rect(a, b, c, lx, ux, ly, uy):
+    """Exact minimum of q(dx, dy) = a dx^2 + c dy^2 + 2 b dx dy over the box
+    [lx, ux] x [ly, uy], valid for ANY quadratic (convex, saddle, concave):
+    the min is at the mean (q=0, iff 0 is inside the box), at a corner, or at
+    a 1-D edge vertex (only a true edge-min when that edge's leading
+    coefficient is positive — otherwise the edge min is at a corner, which is
+    already a candidate)."""
+    def q(dx, dy):
+        return a * dx * dx + c * dy * dy + 2.0 * b * dx * dy
+
+    inf = jnp.float32(jnp.inf)
+    cands = [q(lx, ly), q(lx, uy), q(ux, ly), q(ux, uy)]
+    # vertical edges (dx fixed): vertex dy* = -b dx / c
+    safe_c = jnp.where(c > 1e-12, c, 1.0)
+    for dx in (lx, ux):
+        dys = jnp.clip(-b * dx / safe_c, ly, uy)
+        cands.append(jnp.where(c > 1e-12, q(dx, dys), inf))
+    # horizontal edges (dy fixed): vertex dx* = -b dy / a
+    safe_a = jnp.where(a > 1e-12, a, 1.0)
+    for dy in (ly, uy):
+        dxs = jnp.clip(-b * dy / safe_a, lx, ux)
+        cands.append(jnp.where(a > 1e-12, q(dxs, dy), inf))
+    # the mean itself (q = 0): inside the box the min can't exceed 0
+    inside = (lx <= 0.0) & (0.0 <= ux) & (ly <= 0.0) & (0.0 <= uy)
+    cands.append(jnp.where(inside, 0.0, inf))
+    out = cands[0]
+    for v in cands[1:]:
+        out = jnp.minimum(out, v)
+    return out
+
+
+def pair_cull_bits(mean_pix, conic, opacity, rect, cfg: RasterConfig):
+    """[P] int32 bitmask: bit (q * rect_w + r) set iff the tile at rect
+    position (r, q) provably receives alpha < 1/255 from this gaussian at
+    every pixel (so both kernels skip it and the pair can be dropped
+    exactly).  Pure bookkeeping — inputs are treated as constants."""
+    mean_pix = jax.lax.stop_gradient(mean_pix)
+    conic = jax.lax.stop_gradient(conic)
+    opacity = jax.lax.stop_gradient(opacity)
+    rmin_x, rmin_y, rmax_x, rmax_y = rect
+    rect_w = jnp.maximum(rmax_x - rmin_x, 1).astype(jnp.int32)
+    gx, gy = mean_pix[:, 0], mean_pix[:, 1]
+    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+    # alpha >= 1/255 iff q <= 2 ln(255 op)
+    tau = 2.0 * jnp.log(jnp.maximum(opacity[:, 0], 1e-12) * 255.0)
+    bits = jnp.zeros(mean_pix.shape[0], jnp.int32)
+    for qi in range(_CULL_RQ):
+        for ri in range(_CULL_RQ):
+            tx = rmin_x + ri
+            ty = rmin_y + qi
+            in_rect = (tx < rmax_x) & (ty < rmax_y)
+            # continuous pixel box (integer pixel coords span
+            # [t*tile, t*tile + tile - 1]); dx = gx - px
+            x0 = (tx * cfg.tile_w).astype(jnp.float32)
+            y0 = (ty * cfg.tile_h).astype(jnp.float32)
+            minq = _min_quad_rect(a, b, c,
+                                  gx - (x0 + cfg.tile_w - 1), gx - x0,
+                                  gy - (y0 + cfg.tile_h - 1), gy - y0)
+            kap = qi * rect_w + ri
+            cull = in_rect & (minq > tau + _CULL_MARGIN) & (kap < 31)
+            bits = bits | jnp.where(cull,
+                                    jnp.left_shift(1, jnp.minimum(kap, 30)),
+                                    0)
+    return bits
+
+
 def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
                   opacity: jnp.ndarray, colors: jnp.ndarray, depth: jnp.ndarray,
                   width: int, height: int, cfg: RasterConfig,
@@ -277,6 +376,9 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     ch = cfg.chunk
 
     rmin_x, rmin_y, rmax_x, rmax_y = pre.rect
+    # computed in camera-local tile coords, BEFORE the batched row shift
+    cull_bits = (pair_cull_bits(mean_pix, conic, opacity, pre.rect, cfg)
+                 if cfg.pair_cull else None)
     if n_batch > 1:
         # shift each camera's tile rows into its slice of the virtual grid
         assert p % n_batch == 0
@@ -286,7 +388,7 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
         rmin_y = rmin_y + row_base
         return _bin_instances_batched(
             pre, mean_pix, conic, opacity, colors, depth, width, height, cfg,
-            n_batch, (rmin_x, rmin_y, rmax_x, rmax_y))
+            n_batch, (rmin_x, rmin_y, rmax_x, rmax_y), cull_bits)
     offsets = (jnp.cumsum(pre.tiles_touched)
                - pre.tiles_touched).astype(jnp.int32)              # exclusive
     total = offsets[-1] + pre.tiles_touched[-1]
@@ -338,6 +440,21 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     tile_x = rx + (within - q * rw)
     tile_y = ry + q
     tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x, num_tiles).astype(jnp.int32)
+    if cull_bits is not None:
+        # culled pairs take the sentinel tile: the sort pushes them past
+        # every real tile and searchsorted's counts exclude them, so they
+        # cost no kernel chunks (capacity/num_rendered stay PRE-cull — the
+        # expansion buffer still holds every pair)
+        bits_i = expand_i32(cull_bits)
+        culled = (within < 31) & (
+            ((bits_i >> jnp.minimum(within, 30)) & 1) == 1)
+        tile_id = jnp.where(culled, num_tiles, tile_id)
+    cnt_live = None
+    if cull_bits is not None:
+        ncull = jax.lax.population_count(cull_bits)
+        cnt_live = (pre.tiles_touched
+                    - jnp.where(pre.tiles_touched > 0, ncull, 0)
+                    ).astype(jnp.int32)
 
     # --- the radix sort: (tile, depth, gid) lexicographic, like the stable
     # CUDA sort on (tile << 32 | depth-bits).  gid as the trailing KEY both
@@ -398,12 +515,13 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
     return _chunk_layout(pre, mean_pix, conic, opacity, colors, counts,
                          tile_start, gid_sorted,
                          src_sorted if carry_src else None,
-                         offsets, total, p, cap, ch, num_tiles)
+                         offsets, total, p, cap, ch, num_tiles,
+                         cnt_live)
 
 
 def _chunk_layout(pre, mean_pix, conic, opacity, colors, counts, tile_start,
                   gid_sorted, src_sorted, gauss_offset, total, p, cap, ch,
-                  num_tiles) -> Binned:
+                  num_tiles, cnt_live=None) -> Binned:
     """Shared chunk-aligned layout + payload materialization: sorted streams
     (flat [>= cap]) -> Binned.  ``tile_start`` holds each tile's position in
     the flat sorted stream (per-camera base included in the batched path)."""
@@ -483,12 +601,12 @@ def _chunk_layout(pre, mean_pix, conic, opacity, colors, counts, tile_start,
                   gauss_offset=gauss_offset.astype(jnp.int32),
                   gauss_count=pre.tiles_touched,
                   num_rendered=total.astype(jnp.int32), num_tiles=num_tiles,
-                  src=src_slot)
+                  src=src_slot, gauss_count_live=cnt_live)
 
 
 def _bin_instances_batched(pre, mean_pix, conic, opacity, colors, depth,
                            width, height, cfg: RasterConfig, n_batch: int,
-                           rect) -> Binned:
+                           rect, cull_bits=None) -> Binned:
     """Batched-camera binning: per-camera SEGMENTED expansion and sort.
 
     The flattened [B*P] layout sorted as one stream made the batched step's
@@ -557,6 +675,11 @@ def _bin_instances_batched(pre, mean_pix, conic, opacity, colors, depth,
     tile_y = ry + q
     tile_id = jnp.where(inst_valid, tile_y * gx_grid + tile_x,
                         num_tiles).astype(jnp.int32)
+    if cull_bits is not None:
+        bits_i = expand2(cull_bits)
+        culled = (within < 31) & (
+            ((bits_i >> jnp.minimum(within, 30)) & 1) == 1)
+        tile_id = jnp.where(culled, num_tiles, tile_id)
 
     dbits_i = expand2(
         jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32))
@@ -605,10 +728,17 @@ def _bin_instances_batched(pre, mean_pix, conic, opacity, colors, depth,
                   + cam_rows * capb).reshape(num_tiles)
     gauss_offset = (off2 + base[:, None]).reshape(p)             # contiguous
     total = n_batch * jnp.max(totals)                            # conservative
+    cnt_live = None
+    if cull_bits is not None:
+        ncull = jax.lax.population_count(cull_bits)
+        cnt_live = (pre.tiles_touched
+                    - jnp.where(pre.tiles_touched > 0, ncull, 0)
+                    ).astype(jnp.int32)
     return _chunk_layout(pre, mean_pix, conic, opacity, colors, counts,
                          tile_start, gid_sorted.reshape(cap),
                          src_sorted.reshape(cap) if carry_src else None,
-                         gauss_offset, total, p, cap, ch, num_tiles)
+                         gauss_offset, total, p, cap, ch, num_tiles,
+                         cnt_live)
 
 
 def assemble_image(tile_buf: jnp.ndarray, bg: jnp.ndarray, width: int,

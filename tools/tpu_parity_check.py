@@ -46,6 +46,9 @@ SORT_MODE = os.environ.get("PAR_SORT", "packed")
 POWER_MODE = os.environ.get("PAR_POWER", "matmul")
 FWD_ACC = os.environ.get("PAR_FWD_ACC", "bf16x2")
 REDUCE_MODE = os.environ.get("PAR_REDUCE", "rowmajor")
+# pair_cull applies to the PALLAS side only: the jnp oracle keeps every
+# pair, so this gates exactness of the cull AND kernel parity in one run
+PAIR_CULL = bool(int(os.environ.get("PAR_PAIR_CULL", "0")))
 
 
 def make(backend):
@@ -58,7 +61,8 @@ def make(backend):
                        power_mode=POWER_MODE if backend == "pallas" else "matmul",
                        fwd_acc=FWD_ACC if backend == "pallas" else "highest",
                        reduce_mode=REDUCE_MODE if backend == "pallas"
-                       else "rowmajor")
+                       else "rowmajor",
+                       pair_cull=PAIR_CULL if backend == "pallas" else False)
 
     def loss(ndc, conic, colors, opacity):
         out = rasterize(ndc, conic, colors, opacity, depth_j, valid_j, bg_j,
