@@ -81,6 +81,15 @@ class OptimizationConfig:
     # unclipped but optimizes a PRETRAINED strand decoder; training the
     # decoder from scratch needs this — see optim.clip_by_global_norm.
     hair_grad_clip: float = 1.0
+    # TPU-framework addition (stage 3): cap the SDS-term gradient at
+    # `ratio * ||image-loss grad||`.  The reference backprops
+    # lambda_dsds * L_diff jointly (train_strands.py:128-147) through a
+    # CONVERGED pretrained prior whose gradients are naturally small; a
+    # self-distilled prior can emit gradients 1e7x the image losses, and
+    # per-coordinate Adam then follows the prior exclusively (measured:
+    # runs/r4 stage3 l1 0.009 -> 0.165 in 700 iters).  <= 0 disables
+    # (exact reference joint-backprop semantics).
+    sds_grad_ratio: float = 1.0
 
 
 @dataclass

@@ -140,6 +140,22 @@ def clip_by_global_norm(grads, max_norm: float):
     return jax.tree.map(lambda g: g * scale, grads), gnorm
 
 
+def global_norm(grads) -> jnp.ndarray:
+    leaves = jax.tree.leaves(grads)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in leaves))
+
+
+def cap_norm_relative(grads, ref_grads, ratio: float):
+    """Scale `grads` so its global norm is at most ratio * ||ref_grads||.
+    Returns (capped_grads, applied_scale).  Keeps a regularizer term from
+    drowning the data terms in per-coordinate Adam (see
+    OptimizationConfig.sds_grad_ratio)."""
+    n_ref = global_norm(ref_grads)
+    n_g = global_norm(grads)
+    scale = jnp.minimum(1.0, ratio * n_ref / jnp.maximum(n_g, 1e-12))
+    return jax.tree.map(lambda g: g * scale, grads), scale
+
+
 def grads_are_finite(grads) -> jnp.ndarray:
     """True iff every gradient entry is finite — the NaN-guard that skips the
     whole step like train_gaussians.py:175-178."""

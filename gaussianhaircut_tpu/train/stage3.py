@@ -192,19 +192,36 @@ def train_step(state: CurvesTrainState, head: GaussianFields,
                       cam_batch.fovx[cam_idx], cam_batch.fovy[cam_idx],
                       width, height, cam_residuals, cam_idx)
 
-    def loss_fn(params):
+    def image_loss_fn(params):
         hair = curves_fields(params, state.static, scfg, radius_scale)
         fields = concat_fields(head, hair)
         out = render_fields(fields, scfg.sh_degree, cam, bg, raster_cfg)
-        l_sds = (sds_loss(params, state.static, prior, scfg, sds_key)
-                 if use_sds else jnp.zeros(()))
         total, parts = stage3_losses(out, gt_image, gt_mask, gt_orient_angle,
-                                     gt_orient_conf, l_sds, opt_cfg)
+                                     gt_orient_conf, jnp.zeros(()), opt_cfg)
         # surface the instance count (overflow detectability on long runs)
         parts["num_rendered"] = out["num_rendered"].astype(jnp.float32)
         return total, parts
 
-    (_, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    # The SDS term is backpropped SEPARATELY from the image losses (it never
+    # touches the render, so this costs only the small encoder+denoiser
+    # backward) and its gradient is capped at sds_grad_ratio x the image-loss
+    # gradient norm — see OptimizationConfig.sds_grad_ratio for why the
+    # reference's joint backprop (train_strands.py:128-147) is unsafe with a
+    # self-distilled prior.
+    (img_total, parts), grads = jax.value_and_grad(
+        image_loss_fn, has_aux=True)(state.params)
+    if use_sds:
+        l_sds, g_sds = jax.value_and_grad(
+            lambda p: sds_loss(p, state.static, prior, scfg, sds_key))(
+                state.params)
+        g_sds = jax.tree.map(lambda g: g * opt_cfg.lambda_dsds, g_sds)
+        if opt_cfg.sds_grad_ratio > 0:
+            g_sds, sds_scale = optim.cap_norm_relative(
+                g_sds, grads, opt_cfg.sds_grad_ratio)
+            parts["sds_gscale"] = sds_scale
+        grads = jax.tree.map(jnp.add, grads, g_sds)
+        parts["sds"] = l_sds
+        parts["total"] = img_total + opt_cfg.lambda_dsds * l_sds
     ok = optim.grads_are_finite(grads)
     if opt_cfg.hair_grad_clip > 0:
         grads, gnorm = optim.clip_by_global_norm(grads, opt_cfg.hair_grad_clip)

@@ -163,6 +163,43 @@ def test_stage3_train_step_sds_metric_fires():
         opt_cfg=opt_cfg, white_background=False, use_sds=True)
     assert np.isfinite(float(metrics["sds"]))
     assert float(metrics["sds"]) != 0.0
+    # the SDS-grad cap must be active (default sds_grad_ratio=1.0) and valid
+    assert "sds_gscale" in metrics
+    assert 0.0 < float(metrics["sds_gscale"]) <= 1.0
+
+    # ratio<=0 restores the reference's joint-backprop semantics (no cap)
+    import dataclasses
+    opt_nocap = dataclasses.replace(opt_cfg, sds_grad_ratio=0.0)
+    _, m2 = s3.train_step(
+        state, head, cam_batch, jnp.zeros((3, res, res)),
+        jnp.full((2, res, res), 0.5), jnp.zeros((1, res, res)),
+        jnp.ones((1, res, res)), jnp.asarray(0), None, jnp.asarray(1e-3),
+        prior, jax.random.PRNGKey(9),
+        scfg=scfg, width=res, height=res, raster_cfg=raster_cfg,
+        opt_cfg=opt_nocap, white_background=False, use_sds=True)
+    assert "sds_gscale" not in m2
+
+
+def test_cap_norm_relative():
+    """The stage-3 SDS-vs-image gradient balance guard: a regularizer grad
+    1e7x the data grad (the measured runs/r4 stage-3 divergence) must be
+    scaled down to the data-grad norm; an already-small one is untouched."""
+    from gaussianhaircut_tpu.train.optim import cap_norm_relative, global_norm
+
+    g_img = {"a": jnp.ones((4,)), "b": jnp.full((2, 2), 2.0)}   # norm ~4.47
+    g_big = {"a": jnp.full((4,), 1e7), "b": jnp.zeros((2, 2))}
+    capped, scale = cap_norm_relative(g_big, g_img, 1.0)
+    assert float(scale) < 1e-6
+    np.testing.assert_allclose(float(global_norm(capped)),
+                               float(global_norm(g_img)), rtol=1e-5)
+    # direction preserved
+    assert float(capped["a"][0]) > 0 and float(capped["b"][0, 0]) == 0.0
+
+    g_small = {"a": jnp.full((4,), 1e-3), "b": jnp.zeros((2, 2))}
+    same, scale2 = cap_norm_relative(g_small, g_img, 1.0)
+    assert float(scale2) == 1.0
+    np.testing.assert_array_equal(np.asarray(same["a"]),
+                                  np.asarray(g_small["a"]))
 
 
 def test_stage2_train_step_diffusion_metric_fires_and_frozen_denoiser():

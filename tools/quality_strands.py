@@ -226,11 +226,13 @@ def main():
                     "its pretrained prior (run.sh:195, lambda_sds=0.01)")
     ap.add_argument("--prior_steps", type=int, default=600)
     ap.add_argument("--lambda_sds3", type=float, default=0.01)
-    ap.add_argument("--spatial_lr3", type=float, default=1.0,
-                    help="stage-3 spatial_lr_scale; at L=100 segments are "
-                    "~8e-4 units and the default xyz schedule moves dirs "
-                    "multiple segment-lengths early — shrink if stage 3 "
-                    "degrades PSNR (NOTES_ROUND4 watch item)")
+    ap.add_argument("--spatial_lr3", type=float, default=0.0,
+                    help="stage-3 spatial_lr_scale; 0 = auto (camera extent, "
+                    "the reference's nerf-normalization radius passed at "
+                    "train_strands.py:49).  At L=100 segments are ~8e-4 "
+                    "units and an over-scaled xyz schedule moves dirs "
+                    "multiple segment-lengths early — shrink further if "
+                    "stage 3 degrades PSNR (NOTES_ROUND4 watch item)")
     ap.add_argument("--ckpt_dir", default="",
                     help="directory for periodic stage-2/3 checkpoints "
                     "(long-run resumability)")
@@ -452,6 +454,17 @@ def main():
                               lambda_dsds=args.lambda_sds3,
                               train_orient_conf=False)
 
+    spatial_lr3 = args.spatial_lr3
+    if spatial_lr3 <= 0:
+        # reference parity: spatial_lr_scale is the nerf-normalization camera
+        # radius (train_strands.py:49 <- dataset_readers.getNerfppNorm)
+        centers = np.stack([-c.colmap_transform[:3, :3].T
+                            @ c.colmap_transform[:3, 3] for c in cams])
+        spatial_lr3 = float(1.1 * np.max(
+            np.linalg.norm(centers - centers.mean(0), axis=-1)))
+        print(f"# stage3 spatial_lr_scale(auto) = {spatial_lr3:.4f}",
+              flush=True)
+
     cb3_t = [time.time()]
 
     def cb3(it, st, metrics):
@@ -480,7 +493,7 @@ def main():
         checkpoint_iterations=ckpt3,
         start_checkpoint=args.resume3 or None,
         save_iterations=(), prior=prior3, use_sds=args.use_sds_stage3,
-        spatial_lr_scale=args.spatial_lr3,
+        spatial_lr_scale=spatial_lr3,
         progress_callback=cb3 if log_every else None)
     dt3 = time.time() - t0
     print(f"# stage3: {args.iters3} iters in {dt3:.1f}s "
