@@ -107,7 +107,8 @@ def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: float = 0,
              lr_delay_mult: float = 1.0, max_steps: int = 1000000):
     """Log-linear LR decay with optional sine delay ramp — same curve as the
     reference's Plenoxels-derived helper (general_utils.py:30-63)."""
-    if lr_init == 0.0 and lr_final == 0.0:
+    if (isinstance(lr_init, (int, float)) and isinstance(lr_final, (int, float))
+            and lr_init == 0.0 and lr_final == 0.0):
         return jnp.zeros(())
     step = jnp.asarray(step, jnp.float32)
     if lr_delay_steps > 0:

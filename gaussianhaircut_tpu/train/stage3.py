@@ -178,7 +178,7 @@ def param_lrs(opt_cfg: OptimizationConfig, spatial_lr_scale: float, step):
 @functools.partial(
     jax.jit,
     static_argnames=("scfg", "width", "height", "raster_cfg", "opt_cfg",
-                     "white_background", "spatial_lr_scale", "use_sds"))
+                     "white_background", "use_sds"))
 def train_step(state: CurvesTrainState, head: GaussianFields,
                cam_batch: CameraBatch, gt_image, gt_mask, gt_orient_angle,
                gt_orient_conf, cam_idx, cam_residuals, radius_scale,

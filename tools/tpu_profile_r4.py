@@ -283,4 +283,97 @@ run("E_rast_grad scatter chunk=512",
     raster_grad(mkcfg(reduce_mode="scatter", chunk=512)), *args_r)
 run("E_rast_fwd scatter", raster_fwd(mkcfg(reduce_mode="scatter")), *args_r)
 run("E_rast_fwd rowmajor", raster_fwd(mkcfg()), *args_r)
+
+# ---- E2: pair_cull x chunk end-to-end ---------------------------------------
+run("E2_rast_fwd cull", raster_fwd(mkcfg(pair_cull=True)), *args_r)
+run("E2_rast_grad cull", raster_grad(mkcfg(pair_cull=True)), *args_r)
+run("E2_rast_grad cull chunk=512",
+    raster_grad(mkcfg(pair_cull=True, chunk=512)), *args_r)
+
+# ---- F. reduce sub-breakdown (what inside A_rest's 10.3 ms?) ----------------
+SORTED_ROWS = jnp.asarray(
+    np.random.default_rng(4).normal(size=(cap0, 16)), jnp.float32)
+
+
+def F_relayout_only(eps, dpay):
+    """[tc, 16, chunk] -> [s, 16] swapaxes+reshape (pure relayout)."""
+    s = tc0 * cfg0.chunk
+    return chk((dpay + eps).swapaxes(1, 2).reshape(s, 16))
+
+
+def F_gather_only(eps, dpay, order):
+    s = tc0 * cfg0.chunk
+    g16 = (dpay + eps).swapaxes(1, 2).reshape(s, 16)
+    return chk(g16[order[:cap0]])
+
+
+def F_cumsum_only(eps, rows):
+    return chk(jnp.cumsum(rows + eps, axis=0))
+
+
+def F_cumsum_trimm(eps, rows):
+    """Blocked MXU cumsum: within-block inclusive prefix as a [B,512,512] x
+    [B,512,16] triangular matmul + exclusive block-offset add."""
+    blk = 512
+    nb = cap0 // blk
+    r = (rows + eps)[: nb * blk].reshape(nb, blk, 16)
+    tri = jnp.asarray(np.tril(np.ones((blk, blk), np.float32)))
+    within = jnp.einsum("ij,bjc->bic", tri, r,
+                        preferred_element_type=jnp.float32)
+    bsum = within[:, -1]                       # [nb, 16]
+    boff = jnp.cumsum(bsum, axis=0) - bsum     # exclusive
+    return chk(within + boff[:, None])
+
+
+def F_extract_only(eps, csum, off, cnt):
+    end = jnp.clip(off + cnt - 1, 0, cap0 - 1)
+    seg = (csum + eps)[end] - jnp.where((off > 0)[:, None],
+                                        csum[jnp.maximum(off - 1, 0)], 0.0)
+    return chk(jnp.where((cnt > 0)[:, None], seg, 0.0))
+
+
+def F_rest_bf16pay(eps, dpay16, order, off, cnt):
+    """A_rest with a bf16 slot payload: gather moves half the bytes, cumsum
+    still f32."""
+    s = tc0 * cfg0.chunk
+    g16 = (dpay16 + eps.astype(jnp.bfloat16)).swapaxes(1, 2).reshape(s, 16)
+    g16 = g16[order[:cap0]].astype(jnp.float32)
+    csum = jnp.cumsum(g16, axis=0)
+    end = jnp.clip(off + cnt - 1, 0, cap0 - 1)
+    seg = csum[end] - jnp.where((off > 0)[:, None],
+                                csum[jnp.maximum(off - 1, 0)], 0.0)
+    return chk(jnp.where((cnt > 0)[:, None], seg, 0.0))
+
+
+def F_rest_trimm(eps, dpay, order, off, cnt):
+    """A_rest but with the blocked tri-matmul cumsum."""
+    s = tc0 * cfg0.chunk
+    g16 = (dpay + eps).swapaxes(1, 2).reshape(s, 16)
+    g16 = g16[order[:cap0]]
+    blk = 512
+    nb = cap0 // blk
+    r = g16[: nb * blk].reshape(nb, blk, 16)
+    tri = jnp.asarray(np.tril(np.ones((blk, blk), np.float32)))
+    within = jnp.einsum("ij,bjc->bic", tri, r,
+                        preferred_element_type=jnp.float32)
+    bsum = within[:, -1]
+    boff = jnp.cumsum(bsum, axis=0) - bsum
+    csum = (within + boff[:, None]).reshape(nb * blk, 16)
+    end = jnp.clip(off + cnt - 1, 0, nb * blk - 1)
+    seg = csum[end] - jnp.where((off > 0)[:, None],
+                                csum[jnp.maximum(off - 1, 0)], 0.0)
+    return chk(jnp.where((cnt > 0)[:, None], seg, 0.0))
+
+
+DPAY16 = dpay0.astype(jnp.bfloat16)
+run("F_relayout_only", F_relayout_only, dpay0)
+run("F_gather_only", F_gather_only, dpay0, ORDER_E2S)
+run("F_cumsum_only", F_cumsum_only, SORTED_ROWS)
+run("F_cumsum_trimm", F_cumsum_trimm, SORTED_ROWS)
+run("F_extract_only", F_extract_only, SORTED_ROWS,
+    b.gauss_offset, b.gauss_count)
+run("F_rest_bf16pay", F_rest_bf16pay, DPAY16, ORDER_E2S,
+    b.gauss_offset, b.gauss_count)
+run("F_rest_trimm", F_rest_trimm, dpay0, ORDER_E2S,
+    b.gauss_offset, b.gauss_count)
 print("rc=0", flush=True)
