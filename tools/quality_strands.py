@@ -457,12 +457,25 @@ def main():
     spatial_lr3 = args.spatial_lr3
     if spatial_lr3 <= 0:
         # reference parity: spatial_lr_scale is the nerf-normalization camera
-        # radius (train_strands.py:49 <- dataset_readers.getNerfppNorm)
+        # radius (train_strands.py:49 <- dataset_readers.getNerfppNorm) —
+        # BUT bounded by a measured stability limit: the cumsum-dirs
+        # parameterization moves tip points by up to (L-1) x lr per Adam
+        # step, so dirs lr must stay a small fraction of the segment length.
+        # The round-4 sweep at L=100/10k strands (tools/s3_lr_probe.py,
+        # NOTES_ROUND4 session 3) diverged at lr/segment ~0.12 and was best
+        # at ~0.012; the camera-extent heuristic alone lands at 0.12 on this
+        # synthetic scene and monotonically climbs the image loss.
         centers = np.stack([-c.colmap_transform[:3, :3].T
                             @ c.colmap_transform[:3, 3] for c in cams])
-        spatial_lr3 = float(1.1 * np.max(
+        extent = float(1.1 * np.max(
             np.linalg.norm(centers - centers.mean(0), axis=-1)))
-        print(f"# stage3 spatial_lr_scale(auto) = {spatial_lr3:.4f}",
+        from gaussianhaircut_tpu.config import OptimizationConfig as _OC
+        seg = float(np.linalg.norm(
+            np.asarray(t_pts[:, 1:] - t_pts[:, :-1]), axis=-1).mean())
+        stable = 0.012 * seg / _OC.position_lr_init
+        spatial_lr3 = min(extent, stable)
+        print(f"# stage3 spatial_lr_scale(auto) = {spatial_lr3:.4f} "
+              f"(extent {extent:.4f}, stability bound {stable:.4f})",
               flush=True)
 
     cb3_t = [time.time()]
