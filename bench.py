@@ -77,6 +77,7 @@ def run_config(p, width, height, iters, *, is_headline=False):
             fwd_acc=os.environ.get("BENCH_FWD_ACC", "bf16x2"),
             bwd_matmul=os.environ.get("BENCH_BWD_MATMUL", "bf16x2"),
             reduce_mode=os.environ.get("BENCH_REDUCE", "rowmajor"),
+            reduce_cumsum=os.environ.get("BENCH_REDUCE_CUMSUM", "linear"),
             pair_cull=bool(int(os.environ.get("BENCH_PAIR_CULL", "0"))))
 
     # probe at a generous capacity, then right-size to the measured instance

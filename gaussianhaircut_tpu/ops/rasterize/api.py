@@ -155,6 +155,28 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
         off = binned.gauss_offset
         cnt = binned.gauss_count
     end = jnp.clip(off + cnt - 1, 0, cap - 1)
+
+    def seg_cumsum(g16):
+        """Inclusive prefix-sum over the instance axis ([cap, 16] f32).
+        reduce_cumsum="trimm" computes the within-block prefix as one
+        [blk, blk] lower-triangular matmul per 512-row block on the MXU plus
+        an exclusive block-offset add — fixed summation order (deterministic)
+        but a different association order than the linear cumsum."""
+        if cfg.reduce_cumsum == "linear":
+            return jnp.cumsum(g16, axis=0)
+        if cfg.reduce_cumsum != "trimm":
+            raise ValueError(f"unknown reduce_cumsum: {cfg.reduce_cumsum!r}")
+        blk = 512
+        n = g16.shape[0]
+        nb = -(-n // blk)
+        r = jnp.pad(g16, ((0, nb * blk - n), (0, 0))).reshape(nb, blk, -1)
+        tri = jnp.asarray(np.tril(np.ones((blk, blk), np.float32)))
+        within = jnp.einsum("ij,bjc->bic", tri, r,
+                            preferred_element_type=jnp.float32)
+        bsum = within[:, -1]
+        boff = jnp.cumsum(bsum, axis=0) - bsum
+        return (within + boff[:, None]).reshape(nb * blk, -1)[:n]
+
     if cfg.reduce_mode == "scatter":
         # sort-free: invert the binning permutation carried by Binned.src
         # (expansion slot per sorted slot; masked slots = cap, dropped).
@@ -168,11 +190,15 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
             unique_indices=True)
         g16 = jnp.pad(dpay.swapaxes(1, 2).reshape(s, nrow),
                       ((0, 1), (0, 0)))[inv]
-        csum = jnp.cumsum(g16, axis=0)                            # [cap, 16]
+        csum = seg_cumsum(g16)                                    # [cap, 16]
         seg = csum[end] - jnp.where((off > 0)[:, None],
                                     csum[jnp.maximum(off - 1, 0)], 0.0)
         seg = jnp.where((cnt > 0)[:, None], seg, 0.0)             # [P, 16]
     elif cfg.reduce_mode == "featmajor":
+        if cfg.reduce_cumsum != "linear":
+            raise ValueError("featmajor reduce supports only the linear f32 "
+                             "cumsum (reduce_cumsum applies to rowmajor and "
+                             "scatter)")
         _, order = jax.lax.sort((gid, jnp.arange(s, dtype=jnp.int32)),
                                 num_keys=2)
         # instance-minor layout: the dominant [S]-gather and the cumsum move
@@ -191,7 +217,7 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
                                 num_keys=2)
         g16 = dpay.swapaxes(1, 2).reshape(s, nrow)
         g16 = g16[order[:cap]]
-        csum = jnp.cumsum(g16, axis=0)                            # [cap, 16]
+        csum = seg_cumsum(g16)                                    # [cap, 16]
         seg = csum[end] - jnp.where((off > 0)[:, None],
                                     csum[jnp.maximum(off - 1, 0)], 0.0)
         seg = jnp.where((cnt > 0)[:, None], seg, 0.0)             # [P, 16]

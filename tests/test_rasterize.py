@@ -548,3 +548,40 @@ def test_power_mode_validation_and_large_tile_fallback():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="power_mode"):
         _resolve_power_mode(RasterConfig(power_mode="splat3"))
+
+
+def test_reduce_trimm_cumsum_close(scene, cfg):
+    """reduce_cumsum="trimm" re-associates the f32 segment prefix-sum as
+    blocked triangular matmuls — deterministic but not bit-identical to the
+    linear cumsum; gradients must stay at f32-re-association tolerance in
+    rowmajor and scatter modes.  (A raw-bf16 payload variant was tried and
+    REJECTED here: segment sums with internal cancellation amplified the
+    2^-8 row quantization to ~0.7 relative gradient error.)"""
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean_pix)
+    args = (jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+            jnp.asarray(opacity))
+
+    def run(**kw):
+        c = RasterConfig(**{**cfg.__dict__, "backend": "pallas", **kw})
+
+        def loss(ndc, conic, colors, opacity):
+            out = rasterize(ndc, conic, colors, opacity, jnp.asarray(depth),
+                            jnp.asarray(valid), jnp.asarray(bg), W, H, c)
+            return jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"])
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
+
+    for mode in ("rowmajor", "scatter"):
+        g0 = run(reduce_mode=mode)
+        # trimm alone: pure f32 re-association — tight tolerance
+        g1 = run(reduce_mode=mode, reduce_cumsum="trimm")
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4, err_msg=mode)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="featmajor"):
+        run(reduce_mode="featmajor", reduce_cumsum="trimm")
+    with _pytest.raises(ValueError, match="reduce_cumsum"):
+        run(reduce_cumsum="trimmm")

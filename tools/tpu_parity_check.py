@@ -49,6 +49,7 @@ REDUCE_MODE = os.environ.get("PAR_REDUCE", "rowmajor")
 # pair_cull applies to the PALLAS side only: the jnp oracle keeps every
 # pair, so this gates exactness of the cull AND kernel parity in one run
 PAIR_CULL = bool(int(os.environ.get("PAR_PAIR_CULL", "0")))
+REDUCE_CUMSUM = os.environ.get("PAR_REDUCE_CUMSUM", "linear")
 
 
 def make(backend):
@@ -62,6 +63,8 @@ def make(backend):
                        fwd_acc=FWD_ACC if backend == "pallas" else "highest",
                        reduce_mode=REDUCE_MODE if backend == "pallas"
                        else "rowmajor",
+                       reduce_cumsum=REDUCE_CUMSUM if backend == "pallas"
+                       else "linear",
                        pair_cull=PAIR_CULL if backend == "pallas" else False)
 
     def loss(ndc, conic, colors, opacity):
