@@ -274,6 +274,20 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
                               backend=pipe_cfg.raster_backend)
     radius_scale = jnp.asarray(model_cfg.strand_scale * float(scene_scale),
                                jnp.float32)
+    # Stability check (round-4 measurement, tools/s3_lr_probe.py): the
+    # cumsum-dirs parameterization moves strand tips by up to (L-1) x lr per
+    # Adam step, so the dirs lr must stay a small fraction of the segment
+    # length — lr/segment ~0.12 (the reference's camera-extent heuristic at
+    # L=100 on a compact scene) climbs the image loss monotonically; ~0.012
+    # refines cleanly.  Warn rather than clamp: the reference semantics allow
+    # any spatial_lr_scale (gaussian_model_strands.py:578-594).
+    seg_len = float(jnp.linalg.norm(state.params.dirs, axis=-1).mean())
+    lr0 = opt_cfg.position_lr_init * float(spatial_lr_scale)
+    if seg_len > 0 and lr0 / seg_len > 0.05:
+        print(f"[warn] stage-3 dirs lr {lr0:.2e} is {lr0 / seg_len:.2f}x the "
+              f"mean segment length {seg_len:.2e}; refinement diverged above "
+              f"~0.05 at L=100 — consider spatial_lr_scale <= "
+              f"{0.012 * seg_len / opt_cfg.position_lr_init:.3f}", flush=True)
     rng = random.Random(0)
     stack = []
     from gaussianhaircut_tpu.utils.logger import MetricsLogger
