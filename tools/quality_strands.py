@@ -541,7 +541,10 @@ def main():
                    "texture_size": args.texture_size,
                    "backend": jax.default_backend()},
         **report,
-        "stage2_iters_per_sec": round(args.iters2 / dt2, 3),
+        # a --resume2 checkpoint at/past iters2 skips stage-2 training, so
+        # its wall time is load+eval only, not a training rate
+        "stage2_iters_per_sec": (None if args.resume2
+                                 else round(args.iters2 / dt2, 3)),
         "stage3_iters_per_sec": round(args.iters3 / dt3, 3),
     }
     print(json.dumps(result))
