@@ -321,11 +321,17 @@ def rasterize_batched(ndc: jnp.ndarray, conic: jnp.ndarray,
 
     Binning is per-camera SEGMENTED (common._bin_instances_batched): each
     camera owns a chunk-aligned [cap/B] slice of the instance buffer and the
-    sort runs independently per slice, so per-camera binning cost matches the
-    single-camera step (the earlier single-stream layout made the sort
-    superlinear in B — B=4 measured 4.75x the B=1 step).  What batching
-    amortizes is the per-CALL fixed cost (dispatch, host sync, grid setup),
-    not the per-camera kernel work.
+    sort runs independently per slice (the earlier single-stream layout made
+    the sort itself superlinear in B).
+
+    MEASURED (2026-08-19, 100k@960x544, tools/tpu_bench_batched.py): B=1
+    59.4 ms/step (16.8 cam/s), B=2 126.4 (15.8 cam/s), B=4 320.5 (12.5
+    cam/s) — even segmented, per-camera throughput DECREASES with B, because
+    the per-call fixed cost this path could amortize is only ~4 ms while the
+    B-fold kernel sweep loses pipelining efficiency.  Use this path when
+    single-process multi-camera SEMANTICS are wanted (it is the bit-matched
+    twin of the camera-DP mesh step, tests/test_parallel.py); for multi-
+    camera THROUGHPUT use parallel/data_parallel.py across devices.
 
     Inputs: ndc [B, P, 3], conic [B, P, 3], colors [B, P, 10],
     opacity [B, P, 1], depth [B, P], valid [B, P], bg [10].

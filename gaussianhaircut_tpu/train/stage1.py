@@ -228,12 +228,12 @@ def train_step_batched(state: TrainState, cam_batch: CameraBatch, gt: GtBatch,
                        white_background: bool, n_batch: int):
     """Batched-camera train step: B cameras composited in ONE rasterizer
     sweep (rasterize_batched), one Adam step on the camera-MEAN parameter
-    gradient.  Binning is per-camera segmented (see rasterize_batched), so
-    per-camera kernel/sort work matches the B=1 step and what batching
-    amortizes is the per-CALL fixed cost (dispatch, host sync, losses, Adam)
-    — the TPU-native replacement for the reference's strictly-1-camera
-    iteration loop (train_gaussians.py:103-105; a GPU-loop limitation, not a
-    contract).  Mirrors mesh data-parallel semantics on one chip.
+    gradient.  Binning is per-camera segmented (see rasterize_batched), but
+    measured per-camera throughput still DECREASES with B (B=1 16.8 cam/s,
+    B=4 12.5 — see rasterize_batched's docstring), so this path is a
+    single-chip SEMANTICS mirror of mesh data-parallelism, not a throughput
+    optimization; for multi-camera throughput use
+    parallel/data_parallel.dp_train_step across devices.
 
     Semantics mirror parallel/data_parallel.dp_train_step exactly (parameter
     grads pmean-equivalent, camera-residual rows and densify statistics at
