@@ -77,7 +77,7 @@ def run_config(p, width, height, iters, *, is_headline=False):
             fwd_acc=os.environ.get("BENCH_FWD_ACC", "bf16x2"),
             bwd_matmul=os.environ.get("BENCH_BWD_MATMUL", "bf16x2"),
             reduce_mode=os.environ.get("BENCH_REDUCE", "rowmajor"),
-            reduce_cumsum=os.environ.get("BENCH_REDUCE_CUMSUM", "linear"),
+            reduce_cumsum=os.environ.get("BENCH_REDUCE_CUMSUM", "trimm"),
             pair_cull=bool(int(os.environ.get("BENCH_PAIR_CULL", "0"))))
 
     # probe at a generous capacity, then right-size to the measured instance
@@ -134,7 +134,12 @@ def run_config(p, width, height, iters, *, is_headline=False):
                           "unit": "iters/sec", "vs_baseline": 0.0}))
         return
 
-    ref = (REFERENCE_ITERS_PER_SEC_1M if is_headline
+    # pick the proxy denominator by SCALE, not call site: an env-pinned
+    # BENCH_P=1000000 A/B run is the same headline config and must not be
+    # divided by the 100k proxy (r4f queue emitted vs_baseline 0.159 for a
+    # 2.392 it/s 1M run before this fix)
+    headline_scale = p >= 1_000_000 or width * height >= 1920 * 1080
+    ref = (REFERENCE_ITERS_PER_SEC_1M if (is_headline or headline_scale)
            else REFERENCE_ITERS_PER_SEC)
     print(json.dumps({
         "metric": f"stage1 train iters/sec ({p} gaussians, {width}x{height})",

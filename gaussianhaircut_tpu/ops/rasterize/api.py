@@ -195,18 +195,32 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
                                     csum[jnp.maximum(off - 1, 0)], 0.0)
         seg = jnp.where((cnt > 0)[:, None], seg, 0.0)             # [P, 16]
     elif cfg.reduce_mode == "featmajor":
-        if cfg.reduce_cumsum != "linear":
-            raise ValueError("featmajor reduce supports only the linear f32 "
-                             "cumsum (reduce_cumsum applies to rowmajor and "
-                             "scatter)")
         _, order = jax.lax.sort((gid, jnp.arange(s, dtype=jnp.int32)),
                                 num_keys=2)
         # instance-minor layout: the dominant [S]-gather and the cumsum move
         # only logical bytes ([16, S] / [16, cap]) instead of rows padded to
-        # 128 lanes.  Same summation order as rowmajor (bit-identical).
+        # 128 lanes.  With the linear cumsum the summation order matches
+        # rowmajor exactly (bit-identical); with trimm the 512-block
+        # partition of the instance axis is the same as rowmajor's, but the
+        # MXU contraction layout differs, so gradients are close (f32
+        # rounding) rather than bit-equal to rowmajor+trimm.
         g16t = dpay.reshape(s // ch, nrow, ch).transpose(1, 0, 2).reshape(nrow, s)
         g16t = jnp.take(g16t, order[:cap], axis=1)
-        csum = jnp.cumsum(g16t, axis=1)                           # [16, cap]
+        if cfg.reduce_cumsum == "linear":
+            csum = jnp.cumsum(g16t, axis=1)                       # [16, cap]
+        elif cfg.reduce_cumsum == "trimm":
+            blk = 512
+            nb = -(-cap // blk)
+            r = jnp.pad(g16t, ((0, 0), (0, nb * blk - cap))
+                        ).reshape(nrow, nb, blk)
+            tri = jnp.asarray(np.tril(np.ones((blk, blk), np.float32)))
+            within = jnp.einsum("ij,cbj->cbi", tri, r,
+                                preferred_element_type=jnp.float32)
+            bsum = within[:, :, -1]
+            boff = jnp.cumsum(bsum, axis=1) - bsum
+            csum = (within + boff[:, :, None]).reshape(nrow, nb * blk)[:, :cap]
+        else:
+            raise ValueError(f"unknown reduce_cumsum: {cfg.reduce_cumsum!r}")
         seg = (jnp.take(csum, end, axis=1)
                - jnp.where((off > 0)[None, :],
                            jnp.take(csum, jnp.maximum(off - 1, 0), axis=1),

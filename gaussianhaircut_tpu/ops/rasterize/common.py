@@ -150,15 +150,17 @@ class RasterConfig:
                                     # expansion and sorted order, so the
                                     # permutations coincide); pick by
                                     # measured time (tools/tpu_profile_r4).
-    reduce_cumsum: str = "linear"   # linear | trimm: the [cap, 16] inclusive
+    reduce_cumsum: str = "trimm"    # trimm | linear: the [cap, 16] inclusive
                                     # prefix-sum in the segment reduction.
-                                    # "trimm" runs the within-block prefix as
-                                    # a [512, 512] lower-triangular matmul on
-                                    # the MXU (batched over blocks) + an
-                                    # exclusive block-offset add — a fixed
-                                    # deterministic summation order, but a
-                                    # DIFFERENT association order than the
-                                    # linear cumsum (values differ at f32
+                                    # "trimm" (default; r4f hardware-parity
+                                    # gated and bench A/B winner at both 100k
+                                    # and 1M scales) runs the within-block
+                                    # prefix as a [512, 512] lower-triangular
+                                    # matmul on the MXU (batched over blocks)
+                                    # + an exclusive block-offset add — a
+                                    # fixed deterministic summation order,
+                                    # but a DIFFERENT association order than
+                                    # the linear cumsum (values differ at f32
                                     # rounding, not bit-identical).
 
     @property

@@ -572,8 +572,8 @@ def test_reduce_trimm_cumsum_close(scene, cfg):
 
         return jax.grad(loss, argnums=(0, 1, 2, 3))(*args)
 
-    for mode in ("rowmajor", "scatter"):
-        g0 = run(reduce_mode=mode)
+    for mode in ("rowmajor", "scatter", "featmajor"):
+        g0 = run(reduce_mode=mode, reduce_cumsum="linear")
         # trimm alone: pure f32 re-association — tight tolerance
         g1 = run(reduce_mode=mode, reduce_cumsum="trimm")
         for a, b in zip(g0, g1):
@@ -581,7 +581,5 @@ def test_reduce_trimm_cumsum_close(scene, cfg):
                                        rtol=1e-3, atol=1e-4, err_msg=mode)
 
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="featmajor"):
-        run(reduce_mode="featmajor", reduce_cumsum="trimm")
     with _pytest.raises(ValueError, match="reduce_cumsum"):
         run(reduce_cumsum="trimmm")
