@@ -34,10 +34,12 @@ from gaussianhaircut_tpu.scene.cameras import camera_geom
 from gaussianhaircut_tpu.train import stage2, stage3
 
 # calibrated 2026-08-19 on the jnp backend at THIS config (see
-# test_strand_reconstruction_gates) — floors sit ~3 dB under the
-# demonstrated scores so real regressions bite but run-to-run noise passes
-STAGE2_TEST_PSNR_FLOOR = 21.0
-STAGE3_TEST_PSNR_FLOOR = 21.0
+# test_strand_reconstruction_gates): the calibration run scored stage2
+# 25.27 dB, stage3 26.93 dB with chamfer 1.03e-4 -> 7.91e-5 (non-drift).
+# Floors sit ~3 dB under the demonstrated scores so real regressions bite
+# but run-to-run noise passes.
+STAGE2_TEST_PSNR_FLOOR = 22.0
+STAGE3_TEST_PSNR_FLOOR = 24.0
 # stage-3 must REFINE: chamfer after refinement may not exceed the stage-2
 # init by more than this factor (r3's committed run drifted 6.3x; the SDS
 # prior is what holds geometry — gaussian_model_strands.py:456-515)
