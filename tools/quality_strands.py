@@ -250,6 +250,12 @@ def main():
     ap.add_argument("--ablate_prior_steps", type=int, default=400)
     ap.add_argument("--ablate_lambda_sds", type=float, default=0.05)
     ap.add_argument("--out", default="")
+    ap.add_argument("--rate_probe", action="store_true",
+                    help="exit after stage-2 training and record its "
+                    "steady-state it/s (median of the QUALITY_LOG_EVERY "
+                    "intervals past the first, which absorbs compile) into "
+                    "--out's stage2_iters_per_sec if the file exists — "
+                    "fills the null a --resume2 full run leaves behind")
     args = ap.parse_args()
 
     import jax
@@ -339,15 +345,17 @@ def main():
     log_every = int(os.environ.get("QUALITY_LOG_EVERY", 0))
 
     cb_t = [time.time()]
+    interval_rates = []
 
     def cb(it, state, metrics):
         if log_every and it % log_every == 0:
             now = time.time()
             dt, cb_t[0] = now - cb_t[0], now
+            interval_rates.append(log_every / max(dt, 1e-9))
             print(f"# s2 it={it} total={float(metrics['total']):.4f} "
                   f"l1={float(metrics['l1']):.4f} "
                   f"nr={float(metrics.get('num_rendered', -1)):.0f} "
-                  f"({log_every / max(dt, 1e-9):.2f} it/s)", flush=True)
+                  f"({interval_rates[-1]:.2f} it/s)", flush=True)
 
     ckpt2 = ()
     if args.ckpt_dir and args.ckpt_every:
@@ -364,6 +372,25 @@ def main():
     dt2 = time.time() - t0
     print(f"# stage2: {args.iters2} iters in {dt2:.1f}s "
           f"({args.iters2 / dt2:.2f} it/s)", flush=True)
+    if args.rate_probe:
+        # steady-state rate: median of the per-interval rates past the
+        # first interval (which absorbs the jit compile)
+        rate = (float(np.median(interval_rates[1:]))
+                if len(interval_rates) > 1 else args.iters2 / dt2)
+        print(f"# rate_probe: stage2 steady {rate:.3f} it/s", flush=True)
+        if args.out and os.path.exists(args.out):
+            with open(args.out) as f:
+                d = json.load(f)
+            d["stage2_iters_per_sec"] = round(rate, 3)
+            d["stage2_rate_source"] = (
+                f"fresh {args.iters2}-iter steady-state probe "
+                f"(--rate_probe, median of {max(len(interval_rates)-1, 0)} "
+                f"post-compile intervals)")
+            with open(args.out, "w") as f:
+                json.dump(d, f, indent=1)
+            print(f"# rate_probe: wrote stage2_iters_per_sec to {args.out}",
+                  flush=True)
+        return
     dump_dir = os.environ.get("QUALITY_DUMP_DIR")
     if dump_dir:
         stage2.save_checkpoint(hair_state,

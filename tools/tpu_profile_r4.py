@@ -93,7 +93,8 @@ jits = {}
 
 
 def run(name, fn, *args, n=N):
-    if ONLY and ONLY not in name:
+    # PROF_ONLY: comma-separated substring filters (any match runs)
+    if ONLY and not any(tok and tok in name for tok in ONLY.split(",")):
         return
     if name not in jits:
         jits[name] = jax.jit(fn)
@@ -365,7 +366,218 @@ def F_rest_trimm(eps, dpay, order, off, cnt):
     return chk(jnp.where((cnt > 0)[:, None], seg, 0.0))
 
 
+# ---- G. binning sub-breakdown (what inside the ~11 ms?) ---------------------
+MP = ndc_xy_to_pixel(ndc, W, H)
+PRE = C.preprocess(MP, conic, depth, valid, W, H, cfg0, opacity=opacity)
+
+
+def G_preprocess(eps, ndc, conic, opacity, depth, valid):
+    mp = ndc_xy_to_pixel(ndc + eps, W, H)
+    pre = C.preprocess(mp, conic, depth, valid, W, H, cfg0, opacity=opacity)
+    return chk(pre.tiles_touched) + chk(pre.rect[0])
+
+
+def G_bin_full(eps, ndc, conic, colors, opacity, depth, valid):
+    mp = ndc_xy_to_pixel(ndc + eps, W, H)
+    pre = C.preprocess(mp, conic, depth, valid, W, H, cfg0, opacity=opacity)
+    bb = C.bin_instances(pre, mp, conic, opacity, colors, depth, W, H, cfg0)
+    return chk(bb.payload) + chk(bb.gid)
+
+
+def G_expand4(eps, tt, offsets, rect, depth):
+    """The four expand_i32 delta-scatter+cumsum chains (geo, off, gid, dbits)
+    in isolation."""
+    p = tt.shape[0]
+    rmin_x, rmin_y, rmax_x, rmax_y = rect
+    rmin_x = rmin_x + (eps * 0).astype(jnp.int32)
+    rect_w = jnp.maximum(rmax_x - rmin_x, 1).astype(jnp.int32)
+    gx_grid, gy_grid = cfg0.grid(W, H)
+    bw = max(int(gx_grid).bit_length(), 1)
+    by = max(int(gy_grid).bit_length(), 1)
+
+    def expand_i32(vals):
+        vals = vals.astype(jnp.int32)
+        d = vals - jnp.roll(vals, 1).at[0].set(0)
+        return jnp.cumsum(jnp.zeros(cap0, jnp.int32).at[offsets].add(
+            d, mode="drop"))
+
+    geo = (rect_w << (bw + by)) | (rmin_x.astype(jnp.int32) << by) \
+        | rmin_y.astype(jnp.int32)
+    geo_i = expand_i32(geo)
+    off_i = expand_i32(offsets)
+    gid = expand_i32(jnp.arange(p, dtype=jnp.int32))
+    dbits_i = expand_i32(
+        jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32))
+    return chk(geo_i) + chk(off_i) + chk(gid) + chk(dbits_i)
+
+
+def G_searchsorted(eps, keys):
+    keys = keys + (eps * 0).astype(jnp.int32)
+    num_tiles = cfg0.grid(W, H)[0] * cfg0.grid(W, H)[1]
+    search = jnp.arange(num_tiles + 1, dtype=jnp.int32) << 20
+    return jnp.searchsorted(keys, search).sum()
+
+
+GID_SLOT = jnp.asarray(np.random.default_rng(5).integers(
+    0, P + 1, size=(tc0, cfg0.chunk)), jnp.int32)
+PACK = jnp.asarray(np.random.default_rng(6).normal(
+    size=(P + 1, 18)), jnp.float32)
+
+
+def G_paygather(eps, pack, gid_slot):
+    rows = (pack + eps)[gid_slot]                      # [TC, ch, 18]
+    payload = jnp.pad(rows.swapaxes(1, 2),
+                      ((0, 0), (0, 24 - 18), (0, 0)))
+    return chk(payload)
+
+
+def G_paygather_noT(eps, pack, gid_slot):
+    """Same row gather WITHOUT the [TC, ch, 18] -> [TC, 18, ch] transpose:
+    prices the swapaxes relayout inside the payload materialization."""
+    rows = (pack + eps)[gid_slot]
+    return chk(rows)
+
+
+def G_windows(eps, gid_sorted, starts):
+    gid_pad = jnp.concatenate(
+        [gid_sorted + (eps * 0).astype(jnp.int32),
+         jnp.full((cfg0.chunk,), P, jnp.int32)])
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(gid_pad, (s,), (cfg0.chunk,)))(starts)
+    return win[::7, ::3].sum()
+
+
+STARTS = jnp.asarray(np.random.default_rng(7).integers(
+    0, cap0, size=(tc0,)), jnp.int32)
+GID_SORTED = jnp.asarray(np.random.default_rng(8).integers(
+    0, P, size=(cap0,)), jnp.int32)
+
+run("G_preprocess", G_preprocess, ndc, conic, opacity, depth, valid)
+run("G_bin_full", G_bin_full, ndc, conic, colors, opacity, depth, valid)
+run("G_expand4", G_expand4, PRE.tiles_touched,
+    (jnp.cumsum(PRE.tiles_touched) - PRE.tiles_touched).astype(jnp.int32),
+    PRE.rect, depth)
+run("G_searchsorted", G_searchsorted, jnp.sort(KEYS))
+run("G_paygather", G_paygather, PACK, GID_SLOT)
+run("G_paygather_noT", G_paygather_noT, PACK, GID_SLOT)
+run("G_windows", G_windows, GID_SORTED, STARTS)
+
+# ---- H. per-chunk FIXED-cost probe -------------------------------------------
+# A pallas_call with the forward kernel's exact skeleton (grid over chunks,
+# scalar-prefetch tof/kit, manual double-buffered payload DMA with the
+# skip-aware prefetch, acc scratch, per-tile output flush) but TRIVIAL math:
+# acc += column-0 broadcast of the payload.  fwd_kernel_time - H_fixed ~=
+# the pair-math cost; H_fixed is the floor that only fewer/bigger grid
+# steps can cut.
+def _h_fixed_probe(binned, cfg):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from gaussianhaircut_tpu.ops.rasterize.pallas_core import (
+        _pay_pipeline_start)
+
+    pix = cfg.tile_pix
+    ch = cfg.chunk
+
+    def kernel(tof_ref, kit_ref, pay_hbm_ref, bigbuf_ref, out_ref,
+               acc_ref, flag_ref, pay_buf_ref, sems_ref, issued_ref):
+        c = pl.program_id(0)
+        tile = tof_ref[c]
+        k = kit_ref[c]
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:, :] = jnp.zeros((pix, C.PAD_CHANNELS), jnp.float32)
+            flag_ref[0] = 0.0
+
+        _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
+                            issued_ref, c, flag_ref)
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when((k >= 0) & (flag_ref[0] < 0.5))
+        def _():
+            # one trivial op touching the DMA'd payload so nothing is DCE'd
+            acc_ref[:, :] += jnp.sum(pay_buf_ref[slot, :1, :]) * jnp.ones(
+                (pix, C.PAD_CHANNELS), jnp.float32)
+
+        nc = pl.num_programs(0)
+        is_last = (c == nc - 1) | (tof_ref[jnp.minimum(c + 1, nc - 1)] != tile)
+
+        @pl.when(is_last)
+        def _():
+            out_ref[0] = acc_ref[:, :]
+
+    tc = binned.payload.shape[0]
+    from gaussianhaircut_tpu.ops.rasterize.pallas_core import _segments
+
+    def f(eps, payload, tof, kit):
+        payload = payload + eps
+        bigbuf = jnp.zeros((binned.num_tiles, pix, C.PAD_CHANNELS),
+                           jnp.float32)
+        for start, length in _segments(tc, cfg.segment_chunks):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(length,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, pix, C.PAD_CHANNELS),
+                                 lambda c, tof, kit: (tof[c], 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((pix, C.PAD_CHANNELS), jnp.float32),
+                    pltpu.SMEM((1,), jnp.float32),
+                    pltpu.VMEM((2, 24, ch), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SMEM((1,), jnp.int32)],
+            )
+            from gaussianhaircut_tpu.ops.rasterize.api import _interpret
+            (bigbuf,) = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct(
+                    (binned.num_tiles, pix, C.PAD_CHANNELS), jnp.float32)],
+                input_output_aliases={3: 0},
+                interpret=_interpret(),
+            )(tof[start:start + length], kit[start:start + length],
+              payload[start:start + length], bigbuf)
+        return chk(bigbuf)
+
+    return f
+
+
+run("H_fixed_probe", _h_fixed_probe(b, cfg0), b.payload, b.tile_of_chunk,
+    b.chunk_in_tile)
+
+
+def F_featmajor_trimm(eps, dpay, order, off, cnt):
+    """The featmajor reduce end-to-end: [TC,16,ch] -> [16,S] major-axis
+    permute (no lane/sublane swap), lane-axis gather, trimm cumsum along
+    lanes, lane-axis extract."""
+    s = tc0 * cfg0.chunk
+    ch = cfg0.chunk
+    g16t = (dpay + eps).transpose(1, 0, 2).reshape(16, s)
+    g16t = jnp.take(g16t, order[:cap0], axis=1)
+    blk = 512
+    nb = -(-cap0 // blk)
+    r = jnp.pad(g16t, ((0, 0), (0, nb * blk - cap0))).reshape(16, nb, blk)
+    tri = jnp.asarray(np.tril(np.ones((blk, blk), np.float32)))
+    within = jnp.einsum("ij,cbj->cbi", tri, r,
+                        preferred_element_type=jnp.float32)
+    bsum = within[:, :, -1]
+    boff = jnp.cumsum(bsum, axis=1) - bsum
+    csum = (within + boff[:, :, None]).reshape(16, nb * blk)
+    end = jnp.clip(off + cnt - 1, 0, nb * blk - 1)
+    seg = (jnp.take(csum, end, axis=1)
+           - jnp.where((off > 0)[None, :],
+                       jnp.take(csum, jnp.maximum(off - 1, 0), axis=1), 0.0))
+    return chk(jnp.where((cnt > 0)[None, :], seg, 0.0).T)
+
+
 DPAY16 = dpay0.astype(jnp.bfloat16)
+run("F_featmajor_trimm", F_featmajor_trimm, dpay0, ORDER_E2S,
+    b.gauss_offset, b.gauss_count)
 run("F_relayout_only", F_relayout_only, dpay0)
 run("F_gather_only", F_gather_only, dpay0, ORDER_E2S)
 run("F_cumsum_only", F_cumsum_only, SORTED_ROWS)
