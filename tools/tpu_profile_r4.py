@@ -468,8 +468,12 @@ run("G_windows", G_windows, GID_SORTED, STARTS)
 # skip-aware prefetch, acc scratch, per-tile output flush) but TRIVIAL math:
 # acc += column-0 broadcast of the payload.  fwd_kernel_time - H_fixed ~=
 # the pair-math cost; H_fixed is the floor that only fewer/bigger grid
-# steps can cut.
-def _h_fixed_probe(binned, cfg):
+# steps can cut.  Variants isolate the skeleton pieces:
+#   H_fixed_probe   full skeleton (DMA + tof-indexed out + branches)
+#   H_nodma         no payload DMA (reads the uninitialized VMEM slot)
+#   H_noout         constant out-block index (no per-step block tracking)
+#   H_grid_only     neither DMA nor tof-indexed out (bare grid + branches)
+def _h_fixed_probe(binned, cfg, dma=True, tof_out=True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from gaussianhaircut_tpu.ops.rasterize.pallas_core import (
@@ -489,8 +493,9 @@ def _h_fixed_probe(binned, cfg):
             acc_ref[:, :] = jnp.zeros((pix, C.PAD_CHANNELS), jnp.float32)
             flag_ref[0] = 0.0
 
-        _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
-                            issued_ref, c, flag_ref)
+        if dma:
+            _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
+                                issued_ref, c, flag_ref)
         slot = jax.lax.rem(c, 2)
 
         @pl.when((k >= 0) & (flag_ref[0] < 0.5))
@@ -514,6 +519,12 @@ def _h_fixed_probe(binned, cfg):
         bigbuf = jnp.zeros((binned.num_tiles, pix, C.PAD_CHANNELS),
                            jnp.float32)
         for start, length in _segments(tc, cfg.segment_chunks):
+            if tof_out:
+                out_spec = pl.BlockSpec((1, pix, C.PAD_CHANNELS),
+                                        lambda c, tof, kit: (tof[c], 0, 0))
+            else:
+                out_spec = pl.BlockSpec((1, pix, C.PAD_CHANNELS),
+                                        lambda c, tof, kit: (0, 0, 0))
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(length,),
@@ -521,10 +532,7 @@ def _h_fixed_probe(binned, cfg):
                     pl.BlockSpec(memory_space=pl.ANY),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
-                out_specs=[
-                    pl.BlockSpec((1, pix, C.PAD_CHANNELS),
-                                 lambda c, tof, kit: (tof[c], 0, 0)),
-                ],
+                out_specs=[out_spec],
                 scratch_shapes=[
                     pltpu.VMEM((pix, C.PAD_CHANNELS), jnp.float32),
                     pltpu.SMEM((1,), jnp.float32),
@@ -549,6 +557,12 @@ def _h_fixed_probe(binned, cfg):
 
 run("H_fixed_probe", _h_fixed_probe(b, cfg0), b.payload, b.tile_of_chunk,
     b.chunk_in_tile)
+run("H_nodma", _h_fixed_probe(b, cfg0, dma=False), b.payload,
+    b.tile_of_chunk, b.chunk_in_tile)
+run("H_noout", _h_fixed_probe(b, cfg0, tof_out=False), b.payload,
+    b.tile_of_chunk, b.chunk_in_tile)
+run("H_grid_only", _h_fixed_probe(b, cfg0, dma=False, tof_out=False),
+    b.payload, b.tile_of_chunk, b.chunk_in_tile)
 
 
 def F_featmajor_trimm(eps, dpay, order, off, cnt):
