@@ -9,7 +9,7 @@
 # (the right-sized value from BENCH_r02/r03) so each config compiles once.
 set -u
 cd /root/repo
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_comp
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 export BENCH_P=100000 BENCH_W=960 BENCH_H=544 BENCH_ITERS=20 BENCH_CAP_MULT=8
