@@ -65,11 +65,12 @@ def run_config(p, width, height, iters, *, is_headline=False):
 
     opt_cfg = OptimizationConfig(lambda_dorient=0.1)
     tile = int(os.environ.get("BENCH_TILE", 32))
+    tile_h = int(os.environ.get("BENCH_TILE_H", tile))
     mult_env = os.environ.get("BENCH_CAP_MULT")
 
     def make_cfg(mult):
         return RasterConfig(
-            backend="auto", tile_w=tile, tile_h=tile,
+            backend="auto", tile_w=tile, tile_h=tile_h,
             chunk=int(os.environ.get("BENCH_CHUNK", 256)),
             capacity_mult=mult,
             segment_chunks=int(os.environ.get("BENCH_SEG", 4096)),

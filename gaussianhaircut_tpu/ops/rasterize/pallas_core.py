@@ -224,10 +224,23 @@ def _prefix_matmul_f32(x, u_tri_f32):
             + jnp.dot(lo, u16, preferred_element_type=jnp.float32))
 
 
-def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0,
+_LOG_T_EPS = float(np.log(C.T_EPS))  # log-domain early-stop threshold
+
+
+def _chunk_blend_quantities(feat, u_tri, basis, lt_in, done_in, tile_x0,
                             tile_y0, power_mode="matmul", half=(0, 0)):
     """Shared fwd/bwd per-chunk math.  Returns a dict of [PIX, CH] arrays and
     per-chunk updates, mirroring forward.cu:351-388 semantics exactly.
+
+    The running transmittance is carried in LOG space (lt_in = log T):
+    the early-stop test compares logs (lt_in + s_incl >= log T_EPS instead
+    of T * exp(s_incl) >= T_EPS), t_before needs a single exp of
+    (lt_test - logs) — replacing exp(s_incl) + a divide + a multiply — and
+    the chunk update lt_new = lt_in + lsum costs an add instead of an exp
+    and a multiply.  Net: one full-[PIX, CH] transcendental, one divide and
+    one multiply removed per sub-chunk from BOTH kernels (the VPU
+    elementwise chain is the measured bottleneck; r3f profile).  Values
+    differ from the linear-domain recurrence only at f32 rounding.
 
     Precision strategy: the default TPU matmul precision truncates f32
     operands to bf16 (catastrophic for exponents / log prefix sums), so
@@ -266,33 +279,39 @@ def _chunk_blend_quantities(feat, u_tri, basis, t_in, done_in, tile_x0,
     else:
         raise ValueError(f"unknown power_mode: {power_mode!r}")
     op = feat[C.F_OP:C.F_OP + 1, :]
-    vld = feat[C.F_VALID:C.F_VALID + 1, :]
     expp = jnp.exp(power)
     raw = op * expp
     alpha = jnp.minimum(C.ALPHA_CLAMP, raw)
-    cand = (power <= 0.0) & (alpha >= C.ALPHA_MIN) & (vld > 0.5)
+    # no explicit valid test: masked/invalid slots read the zero pad row
+    # (_chunk_layout), so op = 0 -> alpha = 0 < ALPHA_MIN already excludes
+    # them — the F_VALID payload row is redundant with F_OP here
+    cand = (power <= 0.0) & (alpha >= C.ALPHA_MIN)
     alpha = jnp.where(cand, alpha, 0.0)
     one_m = 1.0 - alpha
 
     logs = jnp.log1p(-alpha)
     s_incl = _prefix_matmul_f32(logs, u_tri)
-    t_incl = jnp.exp(s_incl)
-    t_excl = t_incl / one_m          # exp(s_incl - logs), one exp cheaper
-    test = t_in * t_incl
-    # test is monotone non-increasing along the chunk, so "no instance
-    # j <= i failed the T_EPS stop" is simply test_i >= T_EPS — the explicit
-    # fail prefix (a second triangular matmul) is redundant
-    contrib = cand & (test >= C.T_EPS) & (done_in < 0.5)
-    t_before = t_in * t_excl
+    # fold the done latch into an effective log T: latched pixels drop to
+    # -1e9, so every lt_test comparison fails and t_before underflows to
+    # exactly 0 — this replaces a [PIX, CH] AND with a [PIX, 1] where.
+    # lt_in itself keeps the TRUE latched value (lsum is 0 when nothing
+    # contributes), which the tile output needs.
+    lt_eff = jnp.where(done_in > 0.5, jnp.float32(-1e9), lt_in)
+    lt_test = lt_eff + s_incl         # log(T after instance i, inclusive)
+    # lt_test is monotone non-increasing along the chunk, so "no instance
+    # j <= i failed the T_EPS stop" is simply lt_test_i >= log T_EPS — the
+    # explicit fail prefix (a second triangular matmul) is redundant
+    contrib = cand & (lt_test >= _LOG_T_EPS)
+    t_before = jnp.exp(lt_test - logs)     # T before instance i (linear)
     w = jnp.where(contrib, alpha * t_before, 0.0)
 
     lsum = jnp.sum(jnp.where(contrib, logs, 0.0), axis=1, keepdims=True)
-    t_new = t_in * jnp.exp(lsum)
+    lt_new = lt_in + lsum
     done_new = jnp.maximum(
-        done_in, (test[:, -1:] < C.T_EPS).astype(_F32))
-    return dict(expp=expp, raw=raw, one_m=one_m,
+        done_in, (lt_test[:, -1:] < _LOG_T_EPS).astype(_F32))
+    return dict(expp=expp, raw=raw, one_m=one_m, op=op,
                 contrib=contrib, t_before=t_before, w=w,
-                t_new=t_new, done_new=done_new)
+                lt_new=lt_new, done_new=done_new)
 
 
 # ---------------------------------------------------------------- forward ---
@@ -368,8 +387,8 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     @pl.when(k == 0)
     def _():
         acc_ref[:, :] = jnp.zeros((pix, C.PAD_CHANNELS), _F32)
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (pix, 2), 1)
-        dt_ref[:, :] = jnp.where(lane2 == 0, 1.0, 0.0).astype(_F32)
+        # dt carries (log T, done): T = 1 -> log T = 0
+        dt_ref[:, :] = jnp.zeros((pix, 2), _F32)
         flag_ref[0] = 0.0
 
     # a tile continuing from the previous SEGMENT restores its running state
@@ -389,38 +408,45 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     # forward.cu:334-337): skip the chunk when every pixel latched done.
     # The vote is a scalar SMEM flag maintained by the active branch — a
     # per-step [PIX]-min reduction costs ~1 us even on skipped chunks.
-    # The chunk is processed as SUB-chunks of <= 128 instances: larger
-    # chunks amortize per-step bookkeeping while the math and VMEM
-    # temporaries stay at 128-instance granularity.
+    # The chunk is processed as SUB-chunks of <= 128 instances FUSED into
+    # one predicated body: (log T, done) flow through registers between
+    # sub-chunks and the accumulator/carry refs are touched ONCE per chunk
+    # (the per-sub-chunk acc/dt read-write passes over 128-lane-padded
+    # [PIX, 16] arrays were pure overhead; the only loss is the mid-chunk
+    # done-latch skip, which fires at most once per tile).
     sub = _subchunk(cfg)
-    for j in range(cfg.chunk // sub):
-        @pl.when((k >= 0) & (flag_ref[0] < 0.5))
-        def _(j=j):
-            t_in = dt_ref[:, 0:1]
-            done_in = dt_ref[:, 1:2]
-            # % gy_grid: in the batched-camera virtual grid the tile id is
-            # offset by cam * gx * gy, but instance coordinates stay in each
-            # camera's own pixel frame
-            tile_x0 = (tile % gx_grid) * cfg.tile_w
-            tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
+
+    @pl.when((k >= 0) & (flag_ref[0] < 0.5))
+    def _():
+        lt = dt_ref[:, 0:1]
+        done = dt_ref[:, 1:2]
+        # % gy_grid: in the batched-camera virtual grid the tile id is
+        # offset by cam * gx * gy, but instance coordinates stay in each
+        # camera's own pixel frame
+        tile_x0 = (tile % gx_grid) * cfg.tile_w
+        tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
+        adims = (((1,), (1,)), ((), ()))
+        acc_new = None
+        for j in range(cfg.chunk // sub):
             q = _chunk_blend_quantities(
                 pay_buf_ref[slot, :8, j * sub:(j + 1) * sub], u_ref[:, :],
-                basis_ref[:, :], t_in, done_in, tile_x0, tile_y0,
+                basis_ref[:, :], lt, done, tile_x0, tile_y0,
                 power_mode=_resolve_power_mode(cfg), half=_half(cfg))
             # colT rows 10..15 are zero-padded, so += never touches the
             # done/trans lanes
-            adims = (((1,), (1,)), ((), ()))
             if cfg.fwd_acc == "bf16x2":
-                acc_ref[:, :] += _dot_split2(
+                d = _dot_split2(
                     q["w"], pay_buf_ref[slot, 8:24, j * sub:(j + 1) * sub],
                     adims)
             else:
-                acc_ref[:, :] += jax.lax.dot_general(
+                d = jax.lax.dot_general(
                     q["w"], pay_buf_ref[slot, 8:24, j * sub:(j + 1) * sub],
                     adims, preferred_element_type=_F32, precision=_HI)
-            dt_ref[:, :] = jnp.concatenate([q["t_new"], q["done_new"]],
-                                           axis=1)
-            flag_ref[0] = jnp.min(q["done_new"])
+            acc_new = d if acc_new is None else acc_new + d
+            lt, done = q["lt_new"], q["done_new"]
+        acc_ref[:, :] += acc_new
+        dt_ref[:, :] = jnp.concatenate([lt, done], axis=1)
+        flag_ref[0] = jnp.min(done)
 
     nc = pl.num_programs(0)
     is_last = (c == nc - 1) | (tof_ref[jnp.minimum(c + 1, nc - 1)] != tile)
@@ -429,7 +455,9 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     def _():
         lane = jax.lax.broadcasted_iota(jnp.int32, (pix, C.PAD_CHANNELS), 1)
         merged = jnp.where(lane == C.CH_DONE, dt_ref[:, 1:2], acc_ref[:, :])
-        merged = jnp.where(lane == C.CH_TRANS, dt_ref[:, 0:1], merged)
+        # the carry holds log T; the tile buffer contract stays linear T
+        merged = jnp.where(lane == C.CH_TRANS, jnp.exp(dt_ref[:, 0:1]),
+                           merged)
         out_ref[0] = merged
 
     # hand the running state to the next segment
@@ -532,8 +560,8 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     def _():
         total = jnp.sum(g * obuf_ref[0], axis=1, keepdims=True)     # [PIX, 1]
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
-        init = jnp.where(lane8 == 0, 1.0, 0.0)                      # T = 1
-        init = jnp.where(lane8 == 3, total, init)
+        # lane 0 carries log T: T = 1 -> 0
+        init = jnp.where(lane8 == 3, total, jnp.zeros((pix, 8), _F32))
         carry_ref[:, :] = init
         flag_ref[0] = 0.0
 
@@ -551,25 +579,28 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     slot = jax.lax.rem(c, 2)
 
     # same tile-level early termination as the forward: once every pixel
-    # latched done, remaining chunks contribute zero gradient.  Sub-chunk
-    # loop mirrors the forward's (grid-step overhead amortization).
+    # latched done, remaining chunks contribute zero gradient.  Sub-chunks
+    # are FUSED into one predicated body like the forward's: (log T, done,
+    # prefix) flow through registers and the carry ref is touched once per
+    # chunk.
     sub = _subchunk(cfg)
-    for j in range(cfg.chunk // sub):
-        @pl.when((k >= 0) & (flag_ref[0] < 0.5))
-        def _(j=j):
+
+    @pl.when((k >= 0) & (flag_ref[0] < 0.5))
+    def _():
+        carry = carry_ref[:, :]
+        lt = carry[:, 0:1]
+        done = carry[:, 1:2]
+        prefix = carry[:, 2:3]
+        total = carry[:, 3:4]
+        # % gy_grid: see the forward kernel (batched-camera virtual grid)
+        tile_x0 = (tile % gx_grid) * cfg.tile_w
+        tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
+        for j in range(cfg.chunk // sub):
             sl = slice(j * sub, (j + 1) * sub)
             feat = pay_buf_ref[slot, :8, sl]
             colT = pay_buf_ref[slot, 8:24, sl]                      # [16, SUB]
-            carry = carry_ref[:, :]
-            t_in = carry[:, 0:1]
-            done_in = carry[:, 1:2]
-            prefix_in = carry[:, 2:3]
-            total = carry[:, 3:4]
-            # % gy_grid: see the forward kernel (batched-camera virtual grid)
-            tile_x0 = (tile % gx_grid) * cfg.tile_w
-            tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
             q = _chunk_blend_quantities(feat, u_ref[:, :], basis_ref[:, :],
-                                        t_in, done_in, tile_x0, tile_y0,
+                                        lt, done, tile_x0, tile_y0,
                                         power_mode=_resolve_power_mode(cfg),
                                         half=_half(cfg))
 
@@ -580,7 +611,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 u = jnp.dot(g, colT, preferred_element_type=_F32,
                             precision=_HI)                          # [PIX, SUB]
             uw = u * q["w"]
-            prefix_incl = prefix_in + _prefix_matmul_f32(uw, u_ref[:, :])
+            prefix_incl = prefix + _prefix_matmul_f32(uw, u_ref[:, :])
             a_suffix = total - prefix_incl
             dalpha = jnp.where(q["contrib"],
                                u * q["t_before"] - a_suffix / q["one_m"], 0.0)
@@ -588,7 +619,6 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             # CUDA-compatible: gradient ignores the 0.99 clamp
             # (backward.cu:502-558).
             m = dalpha * q["raw"]                                   # dL/dpower
-            d_op = jnp.sum(dalpha * q["expp"], axis=0, keepdims=True)
 
             # moments are in centered tile-local pixel coords, matching the
             # basis.  The basis is bf16-exact for tiles <= 32
@@ -610,6 +640,14 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             mx = moments[:, 3][None, :]
             my = moments[:, 4][None, :]
             m1 = moments[:, 5][None, :]
+
+            # d_op = sum_pix dalpha * expp.  m = dalpha * op * expp, and
+            # basis column 5 is the constant 1, so m1 = sum_pix m = op *
+            # d_op — the explicit [PIX, CH] multiply + column reduction
+            # collapse to one [1, CH] divide (op = 0 slots are the zero pad
+            # row: m is identically 0 there, so guard-and-zero is exact)
+            d_op = jnp.where(q["op"] > 0.0, m1 / jnp.maximum(q["op"], 1e-30),
+                             0.0)
 
             hx, hy = _half(cfg)
             gx = feat[C.F_GX:C.F_GX + 1, :] - (tile_x0.astype(_F32) + hx)
@@ -643,13 +681,15 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 [d_gx, d_gy, d_a, d_b, d_c, d_op,
                  d_colT[:C.NUM_CHANNELS]], axis=0)                  # [16, SUB]
 
-            lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
-            prefix_new = prefix_in + jnp.sum(uw, axis=1, keepdims=True)
-            new_carry = jnp.where(lane8 == 0, q["t_new"], carry)
-            new_carry = jnp.where(lane8 == 1, q["done_new"], new_carry)
-            new_carry = jnp.where(lane8 == 2, prefix_new, new_carry)
-            carry_ref[:, :] = new_carry
-            flag_ref[0] = jnp.min(q["done_new"])
+            prefix = prefix + jnp.sum(uw, axis=1, keepdims=True)
+            lt, done = q["lt_new"], q["done_new"]
+
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
+        new_carry = jnp.where(lane8 == 0, lt, carry)
+        new_carry = jnp.where(lane8 == 1, done, new_carry)
+        new_carry = jnp.where(lane8 == 2, prefix, new_carry)
+        carry_ref[:, :] = new_carry
+        flag_ref[0] = jnp.min(done)
 
     @pl.when(c == pl.num_programs(0) - 1)
     def _():

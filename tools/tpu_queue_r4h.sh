@@ -30,7 +30,7 @@ PAR_BWD_MATMUL=bf16x2 PAR_POWER=split3 PAR_FWD_ACC=bf16x2 \
   timeout 3600 python tools/tpu_parity_check.py 2>&1 | grep -v "^WARNING" | tail -16
 
 echo "=== decomposition @100k (idle box) ==="
-PROF_ONLY="E_rast_grad chunk,E_rast_fwd rowmajor,H_fixed,G_,F_featmajor,F_rest_trimm,A_reduce,A_sort" \
+PROF_ONLY="E_rast_grad chunk,E_rast_fwd rowmajor,H_,G_,F_featmajor,F_rest_trimm,A_reduce,A_sort" \
   timeout 7200 python tools/tpu_profile_r4.py 2>&1 | grep -v "^WARNING" | tail -18
 
 echo "=== bench 100k chunk=256 ==="
