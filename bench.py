@@ -79,7 +79,8 @@ def run_config(p, width, height, iters, *, is_headline=False):
             bwd_matmul=os.environ.get("BENCH_BWD_MATMUL", "bf16x2"),
             reduce_mode=os.environ.get("BENCH_REDUCE", "rowmajor"),
             reduce_cumsum=os.environ.get("BENCH_REDUCE_CUMSUM", "trimm"),
-            pair_cull=bool(int(os.environ.get("BENCH_PAIR_CULL", "0"))))
+            pair_cull=bool(int(os.environ.get("BENCH_PAIR_CULL", "0"))),
+            io_mode=os.environ.get("BENCH_IO", "auto"))
 
     # probe at a generous capacity, then right-size to the measured instance
     # count + headroom (the bench analog of the trainer's auto-grow: capacity

@@ -31,11 +31,23 @@ def _load(path):
 def evaluate_dir(renders_dir: str, gt_dir: str, lpips_weights=None,
                  allow_untrained_lpips: bool = True):
     lp = lpips_or_none(lpips_weights, allow_untrained=allow_untrained_lpips)
-    if lp is not None and lp.kind != "pretrained":
-        print(f"  [metrics] LPIPS backbone is '{lp.kind}' (no pretrained "
-              "weights found) — reported as LPIPS_kind in results.json; "
-              "convert real weights with ops/lpips.convert_torch_weights")
-    per_view = {"SSIM": {}, "PSNR": {}, "LPIPS": {}}
+    # An uncalibrated LPIPS must never print under the bare "LPIPS" name:
+    # the metric KEY itself carries the backbone kind unless the weights are
+    # the calibrated torchvision-VGG16 + linear heads the reference uses
+    # (src/lpipsPyTorch/modules/networks.py:49-51).  See BASELINE.md's
+    # "LPIPS calibration status" note.
+    lpips_key = None
+    if lp is not None:
+        lpips_key = "LPIPS" if lp.kind == "pretrained" else f"LPIPS[{lp.kind}]"
+        if lp.kind != "pretrained":
+            print(f"  [metrics] LPIPS backbone is '{lp.kind}' (no pretrained "
+                  "weights found) — values are NOT comparable to published "
+                  "LPIPS numbers and are keyed as "
+                  f"'{lpips_key}' in results.json; convert real weights with "
+                  "tools/convert_lpips.py")
+    per_view = {"SSIM": {}, "PSNR": {}}
+    if lpips_key is not None:
+        per_view[lpips_key] = {}
     names = sorted(os.listdir(renders_dir))
     for name in names:
         r = _load(os.path.join(renders_dir, name))
@@ -43,7 +55,7 @@ def evaluate_dir(renders_dir: str, gt_dir: str, lpips_weights=None,
         per_view["SSIM"][name] = float(ssim(r, g))
         per_view["PSNR"][name] = float(psnr(r, g))
         if lp is not None:
-            per_view["LPIPS"][name] = float(lp(r, g))
+            per_view[lpips_key][name] = float(lp(r, g))
     means = {k: float(np.mean(list(v.values()))) for k, v in per_view.items() if v}
     if lp is not None:
         means["LPIPS_kind"] = lp.kind

@@ -90,6 +90,14 @@ class OptimizationConfig:
     # runs/r4 stage3 l1 0.009 -> 0.165 in 700 iters).  <= 0 disables
     # (exact reference joint-backprop semantics).
     sds_grad_ratio: float = 1.0
+    # TPU-framework addition (stage 2, self-trained-prior path only): once
+    # the jointly-trained denoiser has warmed up for this many steps, a
+    # frozen EMA copy of it starts regularizing the texture — restoring the
+    # reference's model_ema texture-pull (gaussian_model_latent_
+    # strands.py:501-513) that the stop-gradient in diffusion_loss removes
+    # for the live denoiser.  <= 0 disables the EMA pull entirely.
+    diffusion_ema_warmup: int = 2000
+    diffusion_ema_decay: float = 0.995
 
 
 @dataclass

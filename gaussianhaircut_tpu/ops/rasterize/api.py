@@ -86,6 +86,15 @@ def _disassemble_cotangent(g_img, g_t, bg, width, height, cfg):
     return jnp.concatenate([gi, zeros, g15[..., None]], axis=-1)
 
 
+def _nr_stats(binned):
+    """[total, overflow_bound] int32: the true instance count plus the value
+    overflow checks compare against capacity (identical in the single-camera
+    path; B * max_b(count_b) in the per-camera-segmented batched path)."""
+    bound = (binned.num_rendered if binned.num_rendered_bound is None
+             else binned.num_rendered_bound)
+    return jnp.stack([binned.num_rendered, bound])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _rasterize_pallas(ndc, conic, colors, opacity, depth, valid, bg,
                       width, height, cfg, full_height, n_batch):
@@ -114,7 +123,7 @@ def _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid, bg,
     # binning, but they stay "visible" for max_radii2D / densify stats just
     # as in CUDA (their gradients are exactly zero either way)
     visibility = (pre.radius > 0).reshape(n_batch, -1)
-    out = (image, t_final, radii, visibility, binned.num_rendered)
+    out = (image, t_final, radii, visibility, _nr_stats(binned))
     return out, (binned, tile_buf, bg, t_final)
 
 
@@ -185,9 +194,13 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
         # Expansion slots whose pair was culled never reach a chunk window;
         # they keep the default index s, which reads the appended zero row
         # (scatter segments stay in PRE-cull expansion order).
+        # NOTE: no unique_indices — the masked tail of Binned.src holds many
+        # duplicated `cap` sentinels; they are out-of-bounds under
+        # mode="drop", but duplicated indices would still formally violate
+        # the unique_indices contract (UB on a backend change).  In-bounds
+        # indices ARE unique, so correctness is unchanged without the flag.
         inv = jnp.full((cap,), s, jnp.int32).at[binned.src.reshape(s)].set(
-            jnp.arange(s, dtype=jnp.int32), mode="drop",
-            unique_indices=True)
+            jnp.arange(s, dtype=jnp.int32), mode="drop")
         g16 = jnp.pad(dpay.swapaxes(1, 2).reshape(s, nrow),
                       ((0, 1), (0, 0)))[inv]
         csum = seg_cumsum(g16)                                    # [cap, 16]
@@ -274,7 +287,7 @@ def _rasterize_jnp(ndc, conic, colors, opacity, depth, valid, bg,
     # binning, but they stay "visible" for max_radii2D / densify stats just
     # as in CUDA (their gradients are exactly zero either way)
     visibility = (pre.radius > 0).reshape(n_batch, -1)
-    return image, t_final, radii, visibility, binned.num_rendered
+    return image, t_final, radii, visibility, _nr_stats(binned)
 
 
 def _rasterize_any(ndc, conic, colors, opacity, depth, valid, bg,
@@ -311,7 +324,7 @@ def rasterize(ndc: jnp.ndarray, conic: jnp.ndarray, colors: jnp.ndarray,
       visibility [P] bool, num_rendered scalar.
     """
     cfg = cfg or C.RasterConfig()
-    image, t_final, radii, visibility, num_rendered = _rasterize_any(
+    image, t_final, radii, visibility, nr_stats = _rasterize_any(
         ndc, conic, colors, opacity, depth, valid, bg, width, height, cfg,
         full_height, 1)
     return {
@@ -319,7 +332,7 @@ def rasterize(ndc: jnp.ndarray, conic: jnp.ndarray, colors: jnp.ndarray,
         "final_T": t_final[0],
         "radii": radii[0],
         "visibility": visibility[0],
-        "num_rendered": num_rendered,
+        "num_rendered": nr_stats[0],
     }
 
 
@@ -350,10 +363,11 @@ def rasterize_batched(ndc: jnp.ndarray, conic: jnp.ndarray,
     Inputs: ndc [B, P, 3], conic [B, P, 3], colors [B, P, 10],
     opacity [B, P, 1], depth [B, P], valid [B, P], bg [10].
     Returns dict with render [B, 10, H, W], final_T [B, H, W], radii [B, P],
-    visibility [B, P], num_rendered (scalar, B * max per-camera count —
-    conservative, because capacity and truncation are per camera under the
-    segmented layout; occupancy/overflow checks against B*P-scaled capacity
-    stay sound).
+    visibility [B, P], num_rendered (the TRUE total instance count over all
+    cameras — the logging/occupancy statistic), and num_rendered_bound
+    (B * max per-camera count: capacity and truncation are per camera under
+    the segmented layout, so THIS is the value overflow checks must compare
+    against the B*P-scaled capacity).
 
     NOTE: ``cfg.capacity_mult`` (and ``cfg.capacity``) are interpreted
     per-Gaussian as usual; the instance buffer is sized against B * P rows,
@@ -362,7 +376,7 @@ def rasterize_batched(ndc: jnp.ndarray, conic: jnp.ndarray,
     cfg = cfg or C.RasterConfig()
     b, p = ndc.shape[:2]
     flat = lambda x: x.reshape((b * p,) + x.shape[2:])
-    image, t_final, radii, visibility, num_rendered = _rasterize_any(
+    image, t_final, radii, visibility, nr_stats = _rasterize_any(
         flat(ndc), flat(conic), flat(colors), flat(opacity), flat(depth),
         flat(valid), bg, width, height, cfg, None, b)
     return {
@@ -370,5 +384,6 @@ def rasterize_batched(ndc: jnp.ndarray, conic: jnp.ndarray,
         "final_T": t_final,
         "radii": radii,
         "visibility": visibility,
-        "num_rendered": num_rendered,
+        "num_rendered": nr_stats[0],
+        "num_rendered_bound": nr_stats[1],
     }

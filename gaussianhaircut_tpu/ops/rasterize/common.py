@@ -150,6 +150,19 @@ class RasterConfig:
                                     # expansion and sorted order, so the
                                     # permutations coincide); pick by
                                     # measured time (tools/tpu_profile_r4).
+    io_mode: str = "auto"           # auto | manual: how the compositing
+                                    # kernels move tile-sized blocks.  "auto"
+                                    # uses Pallas output pipelining with a
+                                    # scalar-prefetch-driven (tof-indexed)
+                                    # block map.  "manual" keeps those
+                                    # buffers in ANY (HBM) memory space and
+                                    # issues explicit once-per-tile DMAs from
+                                    # VMEM scratch: the r4h H-probe measured
+                                    # the auto out-block machinery + manual
+                                    # payload DMA *interaction* at ~18 ms /
+                                    # 3.6k chunks (H_fixed 26.7 ms vs H_noout
+                                    # 8.7 ms at 100k@960x544) — the dominant
+                                    # per-chunk fixed cost.
     reduce_cumsum: str = "trimm"    # trimm | linear: the [cap, 16] inclusive
                                     # prefix-sum in the segment reduction.
                                     # "trimm" (default; r4f hardware-parity
@@ -206,6 +219,14 @@ class Binned(NamedTuple):
                                  # reach a chunk window, so gauss_count
                                  # would misalign every segment after the
                                  # first culled pair
+    num_rendered_bound: jnp.ndarray | None = None  # scalar int32, batched
+                                 # path only: B * max_b(count_b) — the value
+                                 # overflow checks must compare against the
+                                 # total capacity (capacity and truncation
+                                 # are PER CAMERA in the [B, cap_b] layout).
+                                 # num_rendered itself is the TRUE instance
+                                 # total in both paths, so logging /
+                                 # right-sizing consumers see the real count
 
 
 class Preprocessed(NamedTuple):
@@ -533,7 +554,7 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
 
 def _chunk_layout(pre, mean_pix, conic, opacity, colors, counts, tile_start,
                   gid_sorted, src_sorted, gauss_offset, total, p, cap, ch,
-                  num_tiles, cnt_live=None) -> Binned:
+                  num_tiles, cnt_live=None, total_bound=None) -> Binned:
     """Shared chunk-aligned layout + payload materialization: sorted streams
     (flat [>= cap]) -> Binned.  ``tile_start`` holds each tile's position in
     the flat sorted stream (per-camera base included in the batched path)."""
@@ -613,7 +634,9 @@ def _chunk_layout(pre, mean_pix, conic, opacity, colors, counts, tile_start,
                   gauss_offset=gauss_offset.astype(jnp.int32),
                   gauss_count=pre.tiles_touched,
                   num_rendered=total.astype(jnp.int32), num_tiles=num_tiles,
-                  src=src_slot, gauss_count_live=cnt_live)
+                  src=src_slot, gauss_count_live=cnt_live,
+                  num_rendered_bound=(None if total_bound is None
+                                      else total_bound.astype(jnp.int32)))
 
 
 def _bin_instances_batched(pre, mean_pix, conic, opacity, colors, depth,
@@ -631,9 +654,10 @@ def _bin_instances_batched(pre, mean_pix, conic, opacity, colors, depth,
     the concatenated per-camera sorted streams feed the same chunk layout and
     kernels.
 
-    num_rendered is reported as B * max_b(count_b): capacity and truncation
-    are PER CAMERA under this layout, so the conservative bound keeps the
-    callers' ``num_rendered > capacity`` overflow checks sound.
+    num_rendered is the TRUE total instance count (sum over cameras) so
+    logging / occupancy / right-sizing consumers see the real statistic;
+    overflow checks must use num_rendered_bound = B * max_b(count_b),
+    because capacity and truncation are PER CAMERA under this layout.
     """
     p = pre.mean_pix.shape[0]
     pb = p // n_batch
@@ -739,7 +763,8 @@ def _bin_instances_batched(pre, mean_pix, conic, opacity, colors, depth,
     tile_start = (bounds[:, :-1].astype(jnp.int32)
                   + cam_rows * capb).reshape(num_tiles)
     gauss_offset = (off2 + base[:, None]).reshape(p)             # contiguous
-    total = n_batch * jnp.max(totals)                            # conservative
+    total = jnp.sum(totals)                                      # true count
+    total_bound = n_batch * jnp.max(totals)      # per-camera overflow bound
     cnt_live = None
     if cull_bits is not None:
         ncull = jax.lax.population_count(cull_bits)
@@ -750,7 +775,7 @@ def _bin_instances_batched(pre, mean_pix, conic, opacity, colors, depth,
                          tile_start, gid_sorted.reshape(cap),
                          src_sorted.reshape(cap) if carry_src else None,
                          gauss_offset, total, p, cap, ch, num_tiles,
-                         cnt_live)
+                         cnt_live, total_bound=total_bound)
 
 
 def assemble_image(tile_buf: jnp.ndarray, bg: jnp.ndarray, width: int,

@@ -364,6 +364,7 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 bigbuf_ref, acc_in_ref, dt_in_ref,
                 out_ref, acc_out_ref, dt_out_ref,
                 acc_ref, dt_ref, flag_ref, pay_buf_ref, sems_ref, issued_ref,
+                flush_buf_ref=None, fsem_ref=None, fstate_ref=None,
                 *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int):
     # The running accumulators live in VMEM *scratch*, which is
     # single-buffered and persists across grid steps.  Accumulating through
@@ -451,14 +452,53 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     nc = pl.num_programs(0)
     is_last = (c == nc - 1) | (tof_ref[jnp.minimum(c + 1, nc - 1)] != tile)
 
-    @pl.when(is_last)
-    def _():
+    def _merged():
         lane = jax.lax.broadcasted_iota(jnp.int32, (pix, C.PAD_CHANNELS), 1)
         merged = jnp.where(lane == C.CH_DONE, dt_ref[:, 1:2], acc_ref[:, :])
         # the carry holds log T; the tile buffer contract stays linear T
-        merged = jnp.where(lane == C.CH_TRANS, jnp.exp(dt_ref[:, 0:1]),
-                           merged)
-        out_ref[0] = merged
+        return jnp.where(lane == C.CH_TRANS, jnp.exp(dt_ref[:, 0:1]), merged)
+
+    if cfg.io_mode == "manual":
+        # MANUAL tile flush: the finished tile goes to the ANY-space (HBM)
+        # output through an explicit DMA from a VMEM staging buffer instead
+        # of the automatic tof-indexed out-block pipeline (whose interaction
+        # with the manual payload DMA is the measured per-chunk fixed-cost
+        # floor — see RasterConfig.io_mode).  Single staging slot: at most
+        # one flush is in flight; the next tile's >= 1 chunk of compute
+        # hides the copy, and the wait below settles it before reuse.
+        # fstate: [0] = a flush is in flight, [1] = its destination tile.
+        @pl.when(c == 0)
+        def _():
+            fstate_ref[0] = 0
+            fstate_ref[1] = 0
+
+        @pl.when(is_last)
+        def _():
+            @pl.when(fstate_ref[0] == 1)
+            def _():
+                pltpu.make_async_copy(flush_buf_ref,
+                                      out_ref.at[fstate_ref[1]],
+                                      fsem_ref).wait()
+            flush_buf_ref[:, :] = _merged()
+            pltpu.make_async_copy(flush_buf_ref, out_ref.at[tile],
+                                  fsem_ref).start()
+            fstate_ref[0] = 1
+            fstate_ref[1] = tile
+
+        # drain before the pallas_call returns (the is_last flush above has
+        # already fired for this chunk, so exactly one copy is in flight)
+        @pl.when(c == nc - 1)
+        def _():
+            @pl.when(fstate_ref[0] == 1)
+            def _():
+                pltpu.make_async_copy(flush_buf_ref,
+                                      out_ref.at[fstate_ref[1]],
+                                      fsem_ref).wait()
+            fstate_ref[0] = 0
+    else:
+        @pl.when(is_last)
+        def _():
+            out_ref[0] = _merged()
 
     # hand the running state to the next segment
     @pl.when(c == nc - 1)
@@ -496,6 +536,12 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
     acc_c = jnp.zeros((pix, C.PAD_CHANNELS), _F32)
     dt_c = jnp.zeros((pix, 2), _F32)
 
+    manual = cfg.io_mode == "manual"
+    if manual:
+        tile_out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        tile_out_spec = pl.BlockSpec((1, pix, C.PAD_CHANNELS),
+                                     lambda c, tof, kit: (tof[c], 0, 0))
     for start, length in _segments(tc, cfg.segment_chunks):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -509,8 +555,7 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
                 pl.BlockSpec((pix, 2), lambda c, tof, kit: (0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, pix, C.PAD_CHANNELS),
-                             lambda c, tof, kit: (tof[c], 0, 0)),
+                tile_out_spec,
                 pl.BlockSpec((pix, C.PAD_CHANNELS), lambda c, tof, kit: (0, 0)),
                 pl.BlockSpec((pix, 2), lambda c, tof, kit: (0, 0)),
             ],
@@ -519,7 +564,10 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
                             pltpu.SMEM((1,), _F32),
                             pltpu.VMEM((2, 24, ch), _F32),
                             pltpu.SemaphoreType.DMA((2,)),
-                            pltpu.SMEM((1,), jnp.int32)],
+                            pltpu.SMEM((1,), jnp.int32)]
+            + ([pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((2,), jnp.int32)] if manual else []),
         )
         bigbuf, acc_c, dt_c = pl.pallas_call(
             kernel,
@@ -545,34 +593,77 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 gbuf_ref, obuf_ref, carry_in_ref,
                 dpay_ref, carry_out_ref,
                 carry_ref, flag_ref, pay_buf_ref, sems_ref, issued_ref,
+                g_buf_ref=None, o_stage_ref=None, go_sem_ref=None,
+                dstage_ref=None, dsem_ref=None, dstate_ref=None,
                 *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int):
     c = pl.program_id(0)
     tile = tof_ref[c]
     k = kit_ref[c]
     pix = cfg.tile_pix
+    manual = cfg.io_mode == "manual"
 
-    # The done-channel cotangent is zeroed on the host side
-    # (_disassemble_cotangent fills channels 10..14 with zeros), so gbuf is
-    # usable as-is.
-    g = gbuf_ref[0]
+    if manual:
+        # MANUAL tile-block IO (see RasterConfig.io_mode): the cotangent and
+        # forward tile buffers live in ANY (HBM); at each tile start one DMA
+        # brings the g block into VMEM scratch (obuf's single consumer is
+        # the `total` reduction, computed below from a second short-lived
+        # fetch into the same staging slot).  dstate: [0] = a dpay store is
+        # in flight, [1] = its destination chunk.
+        @pl.when(c == 0)
+        def _():
+            dstate_ref[0] = 0
+            dstate_ref[1] = 0
 
-    @pl.when(k == 0)
-    def _():
-        total = jnp.sum(g * obuf_ref[0], axis=1, keepdims=True)     # [PIX, 1]
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
-        # lane 0 carries log T: T = 1 -> 0
-        init = jnp.where(lane8 == 3, total, jnp.zeros((pix, 8), _F32))
-        carry_ref[:, :] = init
-        flag_ref[0] = 0.0
+        @pl.when(k == 0)
+        def _():
+            pltpu.make_async_copy(gbuf_ref.at[tile], g_buf_ref,
+                                  go_sem_ref.at[0]).start()
+            pltpu.make_async_copy(obuf_ref.at[tile], o_stage_ref,
+                                  go_sem_ref.at[1]).start()
+            pltpu.make_async_copy(gbuf_ref.at[tile], g_buf_ref,
+                                  go_sem_ref.at[0]).wait()
+            pltpu.make_async_copy(obuf_ref.at[tile], o_stage_ref,
+                                  go_sem_ref.at[1]).wait()
+            total = jnp.sum(g_buf_ref[:, :] * o_stage_ref[:, :], axis=1,
+                            keepdims=True)
+            lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
+            # lane 0 carries log T: T = 1 -> 0
+            init = jnp.where(lane8 == 3, total, jnp.zeros((pix, 8), _F32))
+            carry_ref[:, :] = init
+            flag_ref[0] = 0.0
+    else:
+        @pl.when(k == 0)
+        def _():
+            # The done-channel cotangent is zeroed on the host side
+            # (_disassemble_cotangent fills channels 10..14 with zeros), so
+            # gbuf is usable as-is.
+            total = jnp.sum(gbuf_ref[0] * obuf_ref[0], axis=1,
+                            keepdims=True)                         # [PIX, 1]
+            lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
+            # lane 0 carries log T: T = 1 -> 0
+            init = jnp.where(lane8 == 3, total, jnp.zeros((pix, 8), _F32))
+            carry_ref[:, :] = init
+            flag_ref[0] = 0.0
 
     # tile continuing from the previous segment
     @pl.when((c == 0) & (k != 0))
     def _():
         carry_ref[:, :] = carry_in_ref[:, :]
         flag_ref[0] = jnp.min(carry_in_ref[:, 1:2])
+        if manual:
+            # the g staging scratch is fresh in this pallas_call: re-fetch
+            # the continued tile's cotangent block (total is in the carry,
+            # so obuf is not needed again)
+            pltpu.make_async_copy(gbuf_ref.at[tile], g_buf_ref,
+                                  go_sem_ref.at[0]).start()
+            pltpu.make_async_copy(gbuf_ref.at[tile], g_buf_ref,
+                                  go_sem_ref.at[0]).wait()
 
-    ch = dpay_ref.shape[-1]
-    dpay_ref[0] = jnp.zeros((6 + C.NUM_CHANNELS, ch), _F32)
+    if manual:
+        ch = dstage_ref.shape[-1]
+    else:
+        ch = dpay_ref.shape[-1]
+        dpay_ref[0] = jnp.zeros((6 + C.NUM_CHANNELS, ch), _F32)
 
     _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
                         issued_ref, c, flag_ref)
@@ -584,9 +675,24 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     # prefix) flow through registers and the carry ref is touched once per
     # chunk.
     sub = _subchunk(cfg)
+    compute = (k >= 0) & (flag_ref[0] < 0.5)
 
-    @pl.when((k >= 0) & (flag_ref[0] < 0.5))
+    @pl.when(compute)
     def _():
+        if manual:
+            # wait for the previous chunk's in-flight dpay store before
+            # reusing the staging buffer (it has had this chunk's DMA wait +
+            # payload compute to complete; in steady state this never blocks)
+            @pl.when(dstate_ref[0] == 1)
+            def _():
+                pltpu.make_async_copy(dstage_ref,
+                                      dpay_ref.at[dstate_ref[1]],
+                                      dsem_ref).wait()
+                dstate_ref[0] = 0
+        # the cotangent load must sit INSIDE this branch: at a segment-
+        # continuation step the g staging fetch happens in the (c==0, k!=0)
+        # branch above, and an earlier load would read pre-fetch garbage
+        g = g_buf_ref[:, :] if manual else gbuf_ref[0]
         carry = carry_ref[:, :]
         lt = carry[:, 0:1]
         done = carry[:, 1:2]
@@ -677,13 +783,24 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 d_colT = jax.lax.dot_general(
                     g, q["w"], (((0,), (0,)), ((), ())),
                     preferred_element_type=_F32, precision=_HI)
-            dpay_ref[0, :, sl] = jnp.concatenate(
+            drow = jnp.concatenate(
                 [d_gx, d_gy, d_a, d_b, d_c, d_op,
                  d_colT[:C.NUM_CHANNELS]], axis=0)                  # [16, SUB]
+            if manual:
+                dstage_ref[:, sl] = drow
+            else:
+                dpay_ref[0, :, sl] = drow
 
             prefix = prefix + jnp.sum(uw, axis=1, keepdims=True)
             lt, done = q["lt_new"], q["done_new"]
 
+        if manual:
+            # ship this chunk's gradients to HBM; skipped chunks store
+            # nothing (the dpay buffer is zero-initialized and aliased, so
+            # their slots stay exactly zero — matching the auto path)
+            pltpu.make_async_copy(dstage_ref, dpay_ref.at[c], dsem_ref).start()
+            dstate_ref[0] = 1
+            dstate_ref[1] = c
         lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
         new_carry = jnp.where(lane8 == 0, lt, carry)
         new_carry = jnp.where(lane8 == 1, done, new_carry)
@@ -693,6 +810,14 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
 
     @pl.when(c == pl.num_programs(0) - 1)
     def _():
+        if manual:
+            # drain the last in-flight dpay store
+            @pl.when(dstate_ref[0] == 1)
+            def _():
+                pltpu.make_async_copy(dstage_ref,
+                                      dpay_ref.at[dstate_ref[1]],
+                                      dsem_ref).wait()
+                dstate_ref[0] = 0
         carry_out_ref[:, :] = carry_ref[:, :]
 
 
@@ -713,6 +838,23 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
                                gy_grid=gy_grid)
 
     carry_c = jnp.zeros((pix, 8), _F32)
+    manual = cfg.io_mode == "manual"
+    if manual:
+        tile_in_spec = pl.BlockSpec(memory_space=pl.ANY)
+        dpay_out_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+        def kernel_m(tof, kit, pay, u, bas, gb, ob, cin, dz, dpay, cout,
+                     *scratch):
+            del dz  # zero-initialized HBM buffer aliased to dpay
+            return kernel(tof, kit, pay, u, bas, gb, ob, cin, dpay, cout,
+                          *scratch)
+        call_kernel = kernel_m
+    else:
+        tile_in_spec = pl.BlockSpec((1, pix, C.PAD_CHANNELS),
+                                    lambda c, tof, kit: (tof[c], 0, 0))
+        dpay_out_spec = pl.BlockSpec((1, 6 + C.NUM_CHANNELS, ch),
+                                     lambda c, tof, kit: (c, 0, 0))
+        call_kernel = kernel
     dpays = []
     for start, length in _segments(tc, cfg.segment_chunks):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -722,33 +864,47 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
                 pl.BlockSpec(memory_space=pl.ANY),   # payload (manual DMA)
                 pl.BlockSpec((sub, sub), lambda c, tof, kit: (0, 0)),
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
-                pl.BlockSpec((1, pix, C.PAD_CHANNELS), lambda c, tof, kit: (tof[c], 0, 0)),
-                pl.BlockSpec((1, pix, C.PAD_CHANNELS), lambda c, tof, kit: (tof[c], 0, 0)),
+                tile_in_spec,
+                tile_in_spec,
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
-            ],
+            ] + ([pl.BlockSpec(memory_space=pl.ANY)] if manual else []),
             out_specs=[
-                pl.BlockSpec((1, 6 + C.NUM_CHANNELS, ch),
-                             lambda c, tof, kit: (c, 0, 0)),
+                dpay_out_spec,
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
             ],
             scratch_shapes=[pltpu.VMEM((pix, 8), _F32),
                             pltpu.SMEM((1,), _F32),
                             pltpu.VMEM((2, 24, ch), _F32),
                             pltpu.SemaphoreType.DMA((2,)),
-                            pltpu.SMEM((1,), jnp.int32)],
+                            pltpu.SMEM((1,), jnp.int32)]
+            + ([pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),
+                pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((6 + C.NUM_CHANNELS, ch), _F32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((2,), jnp.int32)] if manual else []),
         )
+        ins = [binned.tile_of_chunk[start:start + length],
+               binned.chunk_in_tile[start:start + length],
+               binned.payload[start:start + length],
+               u_tri, basis, gbuf, tile_buf, carry_c]
+        alias = {}
+        if manual:
+            # skipped chunks never store: their dpay slots must pre-exist as
+            # zeros, so a zero buffer is donated/aliased to the output
+            # (inputs 0..7 = tof, kit, payload, u, basis, gbuf, obuf, carry)
+            ins.append(jnp.zeros((length, 6 + C.NUM_CHANNELS, ch), _F32))
+            alias = {8: 0}
         dpay_s, carry_c = pl.pallas_call(
-            kernel,
+            call_kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((length, 6 + C.NUM_CHANNELS, ch), _F32),
                 jax.ShapeDtypeStruct((pix, 8), _F32),
             ],
+            input_output_aliases=alias,
             interpret=interpret,
-        )(binned.tile_of_chunk[start:start + length],
-          binned.chunk_in_tile[start:start + length],
-          binned.payload[start:start + length],
-          u_tri, basis, gbuf, tile_buf, carry_c)
+        )(*ins)
         dpays.append(dpay_s)
     if len(dpays) == 1:
         return dpays[0]

@@ -46,6 +46,12 @@ class HairTrainState(NamedTuple):
     opt: optim.AdamState
     step: jnp.ndarray
     key: jnp.ndarray
+    ema: dict | None = None       # EMA copy of params["denoiser"] (self-
+                                  # trained-prior path only): the frozen
+                                  # regularizer that restores the reference's
+                                  # texture-pulling diffusion gradient
+                                  # (model_ema, gaussian_model_latent_
+                                  # strands.py:501-513) once warmed up
 
 
 def make_head_fields(state: gm.GaussianModelState) -> GaussianFields:
@@ -84,45 +90,64 @@ def init_hair_state(cfg: TexturedStrandsConfig, key,
             input_channels=cfg.geometry_descriptor_size,
             input_size=cfg.diffusion_input))
         params["denoiser"] = den.init(kd)
+    ema = (jax.tree.map(jnp.copy, params["denoiser"])
+           if "denoiser" in params else None)
     return HairTrainState(params, optim.adam_init(params),
-                          jnp.zeros((), jnp.int32), ks)
+                          jnp.zeros((), jnp.int32), ks, ema)
 
 
 def diffusion_loss(params: dict, scfg: TexturedStrandsConfig, key,
-                   diffuse_mask=None, denoiser_params=None):
+                   diffuse_mask=None, denoiser_params=None,
+                   ema_denoiser=None, ema_weight=None):
     """L_diff over the scalp latent texture resampled to the diffusion grid
     (the OptimizableTexturedStrands-internal prior term surfaced as
     self.LDiff, gaussian_model_latent_strands.py:501-504).
 
     With ``denoiser_params`` (a converted upstream checkpoint) the denoiser
     is frozen, matching the reference's pretrained ``model_ema``; otherwise
-    it trains jointly with the texture as a self-prior."""
+    it trains jointly with the texture as a self-prior, and — once warmed up
+    (``ema_weight`` > 0) — a frozen EMA copy of the self-trained denoiser
+    supplies the reference's texture-regularizing gradient."""
     from gaussianhaircut_tpu.models.diffusion import Denoiser, DiffusionConfig
     den = Denoiser(DiffusionConfig(
         input_channels=scfg.geometry_descriptor_size,
         input_size=scfg.diffusion_input))
-    dp = denoiser_params if denoiser_params is not None else params["denoiser"]
     g = scfg.geometry_descriptor_size
     tex = params["texture"][:, :, :g]
-    if denoiser_params is None:
-        # SELF-trained denoiser: learn the texture's latent distribution but
-        # do NOT drag the texture toward the denoiser's moving manifold — a
-        # from-scratch denoiser's early loss is huge and destabilizes stage 2
-        # (measured at the L=100/10k-strand operating point: lambda 0.01 *
-        # L_diff spiked the total to 4.25 and instance count 2.1M -> 9.3M
-        # with rising image loss).  The reference's texture-regularizing
-        # gradient comes from a PRETRAINED/EMA denoiser (model_ema,
-        # gaussian_model_latent_strands.py:501-513); that pull applies here
-        # only when converted denoiser weights are supplied (frozen dp).
-        tex = jax.lax.stop_gradient(tex)
     t = scfg.texture_size // scfg.diffusion_input
-    latent = tex.reshape(scfg.diffusion_input, t, scfg.diffusion_input, t, g)
-    latent = latent.mean(axis=(1, 3))[None]            # [1, D, D, 64]
+
+    def latent_of(x):
+        lat = x.reshape(scfg.diffusion_input, t, scfg.diffusion_input, t, g)
+        return lat.mean(axis=(1, 3))[None]             # [1, D, D, 64]
+
     k_noise, k_sigma = jax.random.split(key)
-    noise = jax.random.normal(k_noise, latent.shape)
     sigma = den.sample_density(k_sigma, (1,))
     mask = None if diffuse_mask is None else diffuse_mask[None, :, :, None]
-    return den.loss(dp, latent, noise, sigma, mask)
+
+    if denoiser_params is not None:
+        noise = jax.random.normal(k_noise, latent_of(tex).shape)
+        return den.loss(denoiser_params, latent_of(tex), noise, sigma, mask)
+
+    # SELF-trained denoiser: learn the texture's latent distribution but
+    # do NOT drag the texture toward the LIVE denoiser's moving manifold — a
+    # from-scratch denoiser's early loss is huge and destabilizes stage 2
+    # (measured at the L=100/10k-strand operating point: lambda 0.01 *
+    # L_diff spiked the total to 4.25 and instance count 2.1M -> 9.3M
+    # with rising image loss).  The reference's texture-regularizing
+    # gradient comes from a PRETRAINED/EMA denoiser (model_ema,
+    # gaussian_model_latent_strands.py:501-513); here that pull comes from
+    # the EMA copy (frozen per step, updated outside the loss), gated by a
+    # warmup threshold so the early-chaos denoiser exerts no pull.
+    latent_sg = latent_of(jax.lax.stop_gradient(tex))
+    noise = jax.random.normal(k_noise, latent_sg.shape)
+    l_train = den.loss(params["denoiser"], latent_sg, noise, sigma, mask)
+    if ema_denoiser is None or ema_weight is None:
+        return l_train
+    ema_frozen = jax.lax.stop_gradient(ema_denoiser)
+    l_reg = den.loss(ema_frozen, latent_of(tex), noise, sigma, mask)
+    # the stop_gradient keeps l_reg's VALUE out of the denoiser-training
+    # signal double-count; only its texture gradient (scaled) is added
+    return l_train + ema_weight * (l_reg - jax.lax.stop_gradient(l_reg))
 
 
 def hair_fields_from_strands(params: dict, pool: ScalpPool,
@@ -213,13 +238,19 @@ def train_step(state: HairTrainState, head: GaussianFields, pool: ScalpPool,
                       cam_batch.fovx[cam_idx], cam_batch.fovy[cam_idx],
                       width, height, cam_residuals, cam_idx)
 
+    # EMA texture-pull activates after warmup (self-trained-prior path)
+    ema_w = None
+    if state.ema is not None and opt_cfg.diffusion_ema_warmup > 0:
+        ema_w = (state.step >= opt_cfg.diffusion_ema_warmup).astype(
+            jnp.float32)
+
     def loss_fn(params):
         hair, aux = hair_fields_from_strands(params, pool, scfg, k_strand,
                                              radius_scale)
         fields = concat_fields(head, hair)
         out = render_fields(fields, scfg.sh_degree, cam, bg, raster_cfg)
         l_diff = (diffusion_loss(params, scfg, k_diff, diffuse_mask,
-                                 denoiser_params)
+                                 denoiser_params, state.ema, ema_w)
                   if scfg.use_diffusion else jnp.zeros(()))
         total, parts = stage2_losses(out, gt_image, gt_mask, gt_orient_angle,
                                      gt_orient_conf, l_diff, opt_cfg)
@@ -243,7 +274,12 @@ def train_step(state: HairTrainState, head: GaussianFields, pool: ScalpPool,
     new_params = jax.tree.map(lambda p, u: p + jnp.where(ok, u, 0.0),
                               state.params, updates)
     new_opt = jax.lax.cond(ok, lambda: new_opt, lambda: state.opt)
-    return (HairTrainState(new_params, new_opt, state.step + 1, key),
+    new_ema = state.ema
+    if state.ema is not None:
+        d = opt_cfg.diffusion_ema_decay
+        new_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                               state.ema, new_params["denoiser"])
+    return (HairTrainState(new_params, new_opt, state.step + 1, key, new_ema),
             dict(parts))
 
 
@@ -321,6 +357,9 @@ def save_checkpoint(state: HairTrainState, path: str) -> None:
                       (state.opt.nu, "nu")):
         blob.update({k: np.asarray(v)
                      for k, v in _flat_with_paths(tree, pre).items()})
+    if state.ema is not None:
+        blob.update({k: np.asarray(v)
+                     for k, v in _flat_with_paths(state.ema, "ema").items()})
     blob["opt_count"] = np.asarray(state.opt.count)
     blob["step"] = np.asarray(state.step)
     blob["key"] = np.asarray(state.key)
@@ -352,6 +391,13 @@ def load_checkpoint(path: str, template: HairTrainState) -> HairTrainState:
         params = fill(template.params, "params")
         mu = fill(template.opt.mu, "mu")
         nu = fill(template.opt.nu, "nu")
+    ema = template.ema
+    if ema is not None:
+        if any(k.startswith("ema/") for k in d):
+            ema = fill(ema, "ema")
+        elif "denoiser" in params:
+            # pre-EMA checkpoint: seed the EMA from the loaded denoiser
+            ema = jax.tree.map(jnp.copy, params["denoiser"])
     return HairTrainState(params,
                           optim.AdamState(mu, nu, jnp.asarray(d["opt_count"])),
-                          jnp.asarray(d["step"]), jnp.asarray(d["key"]))
+                          jnp.asarray(d["step"]), jnp.asarray(d["key"]), ema)

@@ -248,6 +248,38 @@ def test_pallas_multisegment_matches_single(scene, cfg):
                                    rtol=1e-6, atol=1e-6)
 
 
+def test_pallas_io_manual_bit_matches_auto(scene, cfg):
+    """io_mode="manual" (ANY-space tile buffers + explicit once-per-tile
+    flush / per-chunk dpay store DMAs) must reproduce io_mode="auto" BIT
+    exactly — forward, final_T and all gradients — in both the single-
+    segment and the segment-crossing (continuation re-fetch) paths."""
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean_pix)
+    args = (jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+            jnp.asarray(opacity))
+
+    def run(io_mode, seg):
+        c = RasterConfig(**{**cfg.__dict__, "backend": "pallas",
+                            "io_mode": io_mode, "segment_chunks": seg})
+
+        def loss(ndc, conic, colors, opacity):
+            out = rasterize(ndc, conic, colors, opacity, jnp.asarray(depth),
+                            jnp.asarray(valid), jnp.asarray(bg), W, H, c)
+            return (jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"]),
+                    out["render"])
+
+        (v, img), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                         has_aux=True)(*args)
+        return img, g
+
+    for seg in (0, 2):
+        img_a, g_a = run("auto", seg)
+        img_m, g_m = run("manual", seg)
+        np.testing.assert_array_equal(np.asarray(img_a), np.asarray(img_m))
+        for a, b in zip(g_a, g_m):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_multisubchunk_matches(scene, cfg):
     """chunk=256 (two in-kernel 128-instance sub-chunks) must match the
     chunk=16 rendering and gradients."""
@@ -452,9 +484,11 @@ def test_batched_matches_per_camera(cfg, backend):
             # in interpret mode)
             np.testing.assert_allclose(np.asarray(a[i]), np.asarray(b),
                                        rtol=1e-2, atol=1e-4, err_msg=name)
-    # per-camera segmented binning reports the conservative B * max count
-    # (capacity and truncation are per camera; see rasterize_batched)
-    assert int(out_b["num_rendered"]) == len(per_cam_rendered) * max(
+    # num_rendered is the TRUE total instance count; num_rendered_bound is
+    # the conservative B * max per-camera value overflow checks compare
+    # against the full capacity (capacity/truncation are per camera)
+    assert int(out_b["num_rendered"]) == sum(per_cam_rendered)
+    assert int(out_b["num_rendered_bound"]) == len(per_cam_rendered) * max(
         per_cam_rendered)
 
 

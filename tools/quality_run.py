@@ -193,7 +193,11 @@ def main():
         "test_psnr": round(float(report["test_psnr"]), 3),
         "train_l1": round(float(report["train_l1"]), 5),
         "test_l1": round(float(report["test_l1"]), 5),
-        "test_lpips": round(float(report["test_lpips"]), 5),
+        # an uncalibrated LPIPS never rides the bare key (BASELINE.md
+        # "LPIPS calibration status")
+        ("test_lpips" if report["lpips_kind"] == "pretrained"
+         else "test_lpips_uncalibrated"):
+            round(float(report["test_lpips"]), 5),
         "lpips_kind": report["lpips_kind"],
         "iters_per_sec": round(args.iters / dt, 3),
         "num_alive": int(state.model.num_alive()),

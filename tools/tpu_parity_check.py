@@ -50,6 +50,7 @@ REDUCE_MODE = os.environ.get("PAR_REDUCE", "rowmajor")
 # pair, so this gates exactness of the cull AND kernel parity in one run
 PAIR_CULL = bool(int(os.environ.get("PAR_PAIR_CULL", "0")))
 REDUCE_CUMSUM = os.environ.get("PAR_REDUCE_CUMSUM", "linear")
+IO_MODE = os.environ.get("PAR_IO", "auto")
 
 
 def make(backend):
@@ -65,7 +66,8 @@ def make(backend):
                        else "rowmajor",
                        reduce_cumsum=REDUCE_CUMSUM if backend == "pallas"
                        else "linear",
-                       pair_cull=PAIR_CULL if backend == "pallas" else False)
+                       pair_cull=PAIR_CULL if backend == "pallas" else False,
+                       io_mode=IO_MODE if backend == "pallas" else "auto")
 
     def loss(ndc, conic, colors, opacity):
         out = rasterize(ndc, conic, colors, opacity, depth_j, valid_j, bg_j,

@@ -1,0 +1,163 @@
+"""Round-5: io_mode=manual vs auto A/B at the bench scene.
+
+The r4h H-probe isolated the forward kernel's per-chunk fixed cost: the
+automatic tof-indexed out-block pipelining *interacting* with the manual
+payload DMA costs ~18 ms / 3.6k chunks at 100k@960x544 (H_fixed 26.7 ms vs
+H_noout 8.7 ms).  io_mode=manual moves every tile-sized block to ANY (HBM)
+memory space with explicit once-per-tile DMAs.  This script times the
+isolated kernels and the end-to-end rasterize grad for both modes.
+
+Env: PROF_P / PROF_W / PROF_H / PROF_N as in tpu_profile_r3f.py.
+"""
+import sys, os
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+import math
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gaussianhaircut_tpu.ops.rasterize import RasterConfig
+from gaussianhaircut_tpu.ops.rasterize import common as C
+from gaussianhaircut_tpu.ops.rasterize import pallas_core
+from gaussianhaircut_tpu.ops.rasterize.api import ndc_xy_to_pixel
+from gaussianhaircut_tpu.models import gaussian_model as gm
+from gaussianhaircut_tpu.render import renderer
+from gaussianhaircut_tpu.scene.cameras import camera_geom
+
+P = int(os.environ.get("PROF_P", 100_000))
+W = int(os.environ.get("PROF_W", 960))
+H = int(os.environ.get("PROF_H", 544))
+N = int(os.environ.get("PROF_N", 20))
+ONLY = os.environ.get("PROF_ONLY", "")
+
+rng = np.random.default_rng(0)
+pts = rng.normal(scale=0.3, size=(P, 3)).astype(np.float32)
+cols = rng.uniform(0.2, 0.8, size=(P, 3)).astype(np.float32)
+state = gm.create_from_pcd(pts, cols, P, 3, 1.0)
+
+fov = math.radians(50)
+center = np.array([0.0, 0.3, 2.5])
+fwdv = -center / np.linalg.norm(center)
+up = np.array([0.0, 1.0, 0.0])
+right = np.cross(up, fwdv); right /= np.linalg.norm(right)
+w2c = np.eye(4, dtype=np.float32)
+w2c[:3, :3] = np.stack([right, np.cross(fwdv, right), fwdv], axis=0)
+w2c[:3, 3] = -w2c[:3, :3] @ center
+cam = camera_geom(jnp.asarray(w2c), jnp.asarray(fov), jnp.asarray(fov), W, H,
+                  None)
+
+
+@jax.jit
+def make_inputs(params, alive):
+    f = renderer.fields_from_params(params, alive)
+    return renderer.prepare_raster_inputs(f, 3, cam)
+
+
+ndc, conic, colors, opacity, depth, valid = jax.block_until_ready(
+    make_inputs(state.params, state.aux.alive))
+
+
+def mkcfg(**kw):
+    return RasterConfig(backend="pallas", capacity_mult=8, **kw)
+
+
+cfg0 = mkcfg()
+bg = jnp.zeros(10, jnp.float32)
+
+
+@jax.jit
+def make_binned(ndc, conic, colors, opacity, depth, valid):
+    mp = ndc_xy_to_pixel(ndc, W, H)
+    pre = C.preprocess(mp, conic, depth, valid, W, H, cfg0, opacity=opacity)
+    return C.bin_instances(pre, mp, conic, opacity, colors, depth, W, H, cfg0)
+
+
+b = jax.block_until_ready(
+    make_binned(ndc, conic, colors, opacity, depth, valid))
+print(f"# P={P} {W}x{H} num_rendered={int(b.num_rendered)} "
+      f"cap={cfg0.instance_capacity(P)} chunks={b.payload.shape[0]}",
+      flush=True)
+
+jits = {}
+
+
+def run(name, fn, *args, n=N):
+    if ONLY and ONLY not in name:
+        return
+    if name not in jits:
+        jits[name] = jax.jit(fn)
+    g = jits[name]
+    r = g(jnp.float32(0), *args)
+    jax.block_until_ready(r)
+    t0 = time.time()
+    for i in range(1, n + 1):
+        r = g(jnp.float32(i) * 1e-6, *args)
+    jax.block_until_ready(r)
+    print(f"{name}: {(time.time()-t0)/n*1000:.2f} ms", flush=True)
+
+
+def chk(x):
+    return x.reshape(-1)[::1013].astype(jnp.float32).sum()
+
+
+def fwd_kernel(cfg):
+    def f(eps, payload, tof, kit):
+        bb = b._replace(payload=payload + eps, tile_of_chunk=tof,
+                        chunk_in_tile=kit)
+        buf = pallas_core.raster_core_pallas_fwd(bb, W, H, cfg)
+        return chk(buf)
+    return f
+
+
+def fwdbwd_kernel(cfg):
+    def f(eps, payload, tof, kit):
+        bb = b._replace(payload=payload + eps, tile_of_chunk=tof,
+                        chunk_in_tile=kit)
+        buf = pallas_core.raster_core_pallas_fwd(bb, W, H, cfg)
+        gbuf = buf * 1e-3 + 1.0
+        gbuf = gbuf.at[..., C.NUM_CHANNELS:].set(0.0)
+        dpay = pallas_core.raster_core_pallas_bwd(bb, buf, gbuf, W, H, cfg)
+        return chk(dpay)
+    return f
+
+
+def raster_e2e(cfg, grad):
+    from gaussianhaircut_tpu.ops.rasterize import rasterize
+
+    if grad:
+        def loss(eps, ndc, conic, colors, opacity):
+            out = rasterize(ndc + eps, conic, colors, opacity, depth, valid,
+                            bg, W, H, cfg)
+            return jnp.sum(out["render"] ** 2)
+        return jax.grad(loss, argnums=(1, 2, 3, 4))
+    def f(eps, ndc, conic, colors, opacity):
+        out = rasterize(ndc + eps, conic, colors, opacity, depth, valid,
+                        bg, W, H, cfg)
+        return out["render"].sum()
+    return f
+
+
+args_k = (b.payload, b.tile_of_chunk, b.chunk_in_tile)
+args_r = (ndc, conic, colors, opacity)
+
+vals = {}
+for mode in ("auto", "manual"):
+    cfg = mkcfg(io_mode=mode)
+    run(f"K_fwd io={mode}", fwd_kernel(cfg), *args_k)
+    run(f"K_fwd+bwd io={mode}", fwdbwd_kernel(cfg), *args_k)
+    run(f"E_rast_fwd io={mode}", raster_e2e(cfg, False), *args_r)
+    run(f"E_rast_grad io={mode}", raster_e2e(cfg, True), *args_r)
+    # numeric check: kernels must produce identical sums across io modes
+    vals[mode] = (
+        float(jax.jit(fwd_kernel(cfg))(jnp.float32(0), *args_k)),
+        float(jax.jit(fwdbwd_kernel(cfg))(jnp.float32(0), *args_k)))
+
+if not ONLY:
+    fa, fb = vals["auto"], vals["manual"]
+    ok = (fa[0] == fb[0]) and (fa[1] == fb[1])
+    print(f"# value check fwd {fa[0]:.6e} vs {fb[0]:.6e}; "
+          f"fwd+bwd {fa[1]:.6e} vs {fb[1]:.6e} -> "
+          f"{'BIT-IDENTICAL' if ok else 'MISMATCH'}", flush=True)
+print("rc=0", flush=True)
