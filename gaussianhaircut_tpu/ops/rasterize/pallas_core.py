@@ -459,13 +459,20 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
         return jnp.where(lane == C.CH_TRANS, jnp.exp(dt_ref[:, 0:1]), merged)
 
     if cfg.io_mode == "manual":
-        # MANUAL tile flush: the finished tile goes to the ANY-space (HBM)
-        # output through an explicit DMA from a VMEM staging buffer instead
-        # of the automatic tof-indexed out-block pipeline (whose interaction
-        # with the manual payload DMA is the measured per-chunk fixed-cost
-        # floor — see RasterConfig.io_mode).  Single staging slot: at most
-        # one flush is in flight; the next tile's >= 1 chunk of compute
-        # hides the copy, and the wait below settles it before reuse.
+        # MANUAL tile flush: the finished tile goes to the HBM output through
+        # an explicit DMA from a VMEM staging buffer instead of the automatic
+        # tof-indexed out-block pipeline (whose interaction with the manual
+        # payload DMA is the measured per-chunk fixed-cost floor — see
+        # RasterConfig.io_mode).  The HBM tile buffer is CHANNEL-MAJOR
+        # [tiles, PAD_CHANNELS, pix]: a pixel-major [tiles, pix, 16] layout
+        # is not DMA-sliceable (Mosaic requires tile-aligned slices and pads
+        # the 16-channel minor axis to 128 lanes); channel-major slices are
+        # (16, 1024) = whole sublane/lane tiles, like the payload buffer.
+        # The kernel math stays pixel-major; one per-tile [pix, 16] -> [16,
+        # pix] transpose at the flush is the entire relayout cost.
+        # Single staging slot: at most one flush is in flight; the next
+        # tile's >= 1 chunk of compute hides the copy, and the wait below
+        # settles it before reuse.
         # fstate: [0] = a flush is in flight, [1] = its destination tile.
         @pl.when(c == 0)
         def _():
@@ -479,7 +486,7 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 pltpu.make_async_copy(flush_buf_ref,
                                       out_ref.at[fstate_ref[1]],
                                       fsem_ref).wait()
-            flush_buf_ref[:, :] = _merged()
+            flush_buf_ref[:, :] = _merged().T
             pltpu.make_async_copy(flush_buf_ref, out_ref.at[tile],
                                   fsem_ref).start()
             fstate_ref[0] = 1
@@ -532,16 +539,21 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
     kernel = functools.partial(_fwd_kernel, cfg=cfg, gx_grid=gx_grid,
                                gy_grid=gy_grid)
 
-    bigbuf = jnp.zeros((binned.num_tiles, pix, C.PAD_CHANNELS), _F32)
     acc_c = jnp.zeros((pix, C.PAD_CHANNELS), _F32)
     dt_c = jnp.zeros((pix, 2), _F32)
 
     manual = cfg.io_mode == "manual"
     if manual:
-        tile_out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        # Channel-major HBM buffer (see the flush comment in _fwd_kernel):
+        # explicit HBM, and [tiles, 16, pix] so the per-tile DMA slice is
+        # sublane/lane tile-aligned.
+        tile_shape = (binned.num_tiles, C.PAD_CHANNELS, pix)
+        tile_out_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     else:
+        tile_shape = (binned.num_tiles, pix, C.PAD_CHANNELS)
         tile_out_spec = pl.BlockSpec((1, pix, C.PAD_CHANNELS),
                                      lambda c, tof, kit: (tof[c], 0, 0))
+    bigbuf = jnp.zeros(tile_shape, _F32)
     for start, length in _segments(tc, cfg.segment_chunks):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -550,7 +562,8 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
                 pl.BlockSpec(memory_space=pl.ANY),   # payload (manual DMA)
                 pl.BlockSpec((sub, sub), lambda c, tof, kit: (0, 0)),
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),   # aliased tile buffer
+                # aliased tile buffer; HBM when manual (matches tile_out_spec)
+                tile_out_spec if manual else pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((pix, C.PAD_CHANNELS), lambda c, tof, kit: (0, 0)),
                 pl.BlockSpec((pix, 2), lambda c, tof, kit: (0, 0)),
             ],
@@ -565,7 +578,7 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
                             pltpu.VMEM((2, 24, ch), _F32),
                             pltpu.SemaphoreType.DMA((2,)),
                             pltpu.SMEM((1,), jnp.int32)]
-            + ([pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),
+            + ([pltpu.VMEM((C.PAD_CHANNELS, pix), _F32),   # flush staging (cm)
                 pltpu.SemaphoreType.DMA,
                 pltpu.SMEM((2,), jnp.int32)] if manual else []),
         )
@@ -573,7 +586,7 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
             kernel,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((binned.num_tiles, pix, C.PAD_CHANNELS), _F32),
+                jax.ShapeDtypeStruct(tile_shape, _F32),
                 jax.ShapeDtypeStruct((pix, C.PAD_CHANNELS), _F32),
                 jax.ShapeDtypeStruct((pix, 2), _F32),
             ],
@@ -584,6 +597,10 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
           binned.chunk_in_tile[start:start + length],
           binned.payload[start:start + length],
           u_tri, basis, bigbuf, acc_c, dt_c)
+    if manual:
+        # restore the pixel-major contract (one fused XLA pass over the
+        # buffer; ~0.3 ms at 1M/1080p vs the ~18 ms the manual IO removes)
+        return jnp.swapaxes(bigbuf, 1, 2)
     return bigbuf
 
 
@@ -593,7 +610,8 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 gbuf_ref, obuf_ref, carry_in_ref,
                 dpay_ref, carry_out_ref,
                 carry_ref, flag_ref, pay_buf_ref, sems_ref, issued_ref,
-                g_buf_ref=None, o_stage_ref=None, go_sem_ref=None,
+                g_buf_ref=None, o_stage_ref=None, g_pix_ref=None,
+                go_sem_ref=None,
                 dstage_ref=None, dsem_ref=None, dstate_ref=None,
                 *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int):
     c = pl.program_id(0)
@@ -604,11 +622,14 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
 
     if manual:
         # MANUAL tile-block IO (see RasterConfig.io_mode): the cotangent and
-        # forward tile buffers live in ANY (HBM); at each tile start one DMA
-        # brings the g block into VMEM scratch (obuf's single consumer is
-        # the `total` reduction, computed below from a second short-lived
-        # fetch into the same staging slot).  dstate: [0] = a dpay store is
-        # in flight, [1] = its destination chunk.
+        # forward tile buffers live in HBM, CHANNEL-MAJOR [tiles, 16, pix]
+        # (the DMA-sliceable layout; see the forward's flush comment); at
+        # each tile start one DMA brings the g/o blocks into VMEM staging,
+        # g is transposed once into the pixel-major g_pix scratch the math
+        # uses, and o's single consumer is the `total` reduction computed
+        # here (same op order as the auto path, so results are
+        # bit-identical).  dstate: [0] = a dpay store is in flight,
+        # [1] = its destination chunk.
         @pl.when(c == 0)
         def _():
             dstate_ref[0] = 0
@@ -624,7 +645,8 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                                   go_sem_ref.at[0]).wait()
             pltpu.make_async_copy(obuf_ref.at[tile], o_stage_ref,
                                   go_sem_ref.at[1]).wait()
-            total = jnp.sum(g_buf_ref[:, :] * o_stage_ref[:, :], axis=1,
+            g_pix_ref[:, :] = g_buf_ref[:, :].T
+            total = jnp.sum(g_pix_ref[:, :] * o_stage_ref[:, :].T, axis=1,
                             keepdims=True)
             lane8 = jax.lax.broadcasted_iota(jnp.int32, (pix, 8), 1)
             # lane 0 carries log T: T = 1 -> 0
@@ -658,6 +680,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                                   go_sem_ref.at[0]).start()
             pltpu.make_async_copy(gbuf_ref.at[tile], g_buf_ref,
                                   go_sem_ref.at[0]).wait()
+            g_pix_ref[:, :] = g_buf_ref[:, :].T
 
     if manual:
         ch = dstage_ref.shape[-1]
@@ -692,7 +715,7 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
         # the cotangent load must sit INSIDE this branch: at a segment-
         # continuation step the g staging fetch happens in the (c==0, k!=0)
         # branch above, and an earlier load would read pre-fetch garbage
-        g = g_buf_ref[:, :] if manual else gbuf_ref[0]
+        g = g_pix_ref[:, :] if manual else gbuf_ref[0]
         carry = carry_ref[:, :]
         lt = carry[:, 0:1]
         done = carry[:, 1:2]
@@ -840,8 +863,13 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
     carry_c = jnp.zeros((pix, 8), _F32)
     manual = cfg.io_mode == "manual"
     if manual:
-        tile_in_spec = pl.BlockSpec(memory_space=pl.ANY)
-        dpay_out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        # Explicit HBM + channel-major (the DMA-sliceable layout; see the
+        # forward's flush comment).  One XLA transpose per buffer here vs
+        # the auto out-block machinery's per-chunk cost.
+        tile_buf = jnp.swapaxes(tile_buf, 1, 2)
+        gbuf = jnp.swapaxes(gbuf, 1, 2)
+        tile_in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+        dpay_out_spec = pl.BlockSpec(memory_space=pltpu.HBM)
 
         def kernel_m(tof, kit, pay, u, bas, gb, ob, cin, dz, dpay, cout,
                      *scratch):
@@ -867,7 +895,7 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
                 tile_in_spec,
                 tile_in_spec,
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
-            ] + ([pl.BlockSpec(memory_space=pl.ANY)] if manual else []),
+            ] + ([dpay_out_spec] if manual else []),  # zero buf aliased to dpay
             out_specs=[
                 dpay_out_spec,
                 pl.BlockSpec((pix, 8), lambda c, tof, kit: (0, 0)),
@@ -877,8 +905,9 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
                             pltpu.VMEM((2, 24, ch), _F32),
                             pltpu.SemaphoreType.DMA((2,)),
                             pltpu.SMEM((1,), jnp.int32)]
-            + ([pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),
-                pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),
+            + ([pltpu.VMEM((C.PAD_CHANNELS, pix), _F32),   # g staging (cm)
+                pltpu.VMEM((C.PAD_CHANNELS, pix), _F32),   # o staging (cm)
+                pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),   # g transposed
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((6 + C.NUM_CHANNELS, ch), _F32),
                 pltpu.SemaphoreType.DMA,
