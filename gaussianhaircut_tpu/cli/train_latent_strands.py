@@ -64,12 +64,23 @@ def main(argv=None):
                                  use_diffusion=use_diffusion)
 
     denoiser_params = None
+    prior_params = None
     if args.prior_checkpoint:
         from gaussianhaircut_tpu.models.prior_io import load_prior
-        denoiser_params = load_prior(args.prior_checkpoint).get("denoiser")
+        prior_params = load_prior(args.prior_checkpoint)
+        denoiser_params = prior_params.get("denoiser")
         if denoiser_params is None:
             print("[warn] prior checkpoint has no denoiser section; "
                   "training a self-prior denoiser jointly")
+        elif opt_cfg.hair_grad_clip > 0:
+            # with a CONVERTED pretrained prior the reference's unclipped
+            # dynamics (train_latent_strands.py joint backprop) are the
+            # known-good baseline; the clip default exists for the
+            # from-scratch path — see OptimizationConfig.hair_grad_clip
+            print(f"[note] hair_grad_clip={opt_cfg.hair_grad_clip} deviates "
+                  "from the reference's unclipped training; with a converted "
+                  "pretrained prior you may pass --hair_grad_clip 0 for "
+                  "exact reference semantics")
 
     scene = load_scene(model_cfg)
     iteration = find_max_iteration(model_cfg.model_path)
@@ -93,7 +104,7 @@ def main(argv=None):
                  scene_scale, residuals, model_path_hair=args.model_path_hair,
                  checkpoint_iterations=tuple(args.checkpoint_iterations),
                  start_checkpoint=args.start_checkpoint_hair,
-                 denoiser_params=denoiser_params)
+                 denoiser_params=denoiser_params, prior_params=prior_params)
     print("\nTraining complete.")
 
 

@@ -82,6 +82,15 @@ def main(argv=None):
         from gaussianhaircut_tpu.models import prior_io
         if args.prior_checkpoint:
             prior = prior_io.load_strand_prior(args.prior_checkpoint)
+            if opt_cfg.hair_grad_clip > 0 or opt_cfg.sds_grad_ratio > 0:
+                # with a CONVERTED pretrained prior the reference's unclipped
+                # joint SDS backprop (train_strands.py:128-147) is the
+                # known-good baseline; clip/cap defaults exist for the
+                # from-scratch path — see OptimizationConfig.sds_grad_ratio
+                print("[note] hair_grad_clip/sds_grad_ratio deviate from the "
+                      "reference's unclipped joint-SDS training; with a "
+                      "converted pretrained prior pass --hair_grad_clip 0 "
+                      "--sds_grad_ratio 0 for exact reference semantics")
         else:
             print("[warn] --use_sds without --prior_checkpoint: using a "
                   "fresh (untrained) prior — convert the upstream "

@@ -66,9 +66,10 @@ def dp_train_step(mesh: Mesh, *, active_sh_degree: int, width: int,
             out = render(params, alive, active_sh_degree, cam, bg, raster_cfg)
             total, parts = compute_losses(out, gt_img, gt_mask, gt_oa, gt_oc,
                                           opt_cfg)
-            return total, (parts, out["radii"], out["visibility_filter"])
+            return total, (parts, out["radii"], out["visibility_filter"],
+                           out["num_rendered"])
 
-        (_, (parts, radii, visibility)), (gparams, gcam) = (
+        (_, (parts, radii, visibility, num_rendered)), (gparams, gcam) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.model.params, state.cam_res))
 
@@ -141,6 +142,11 @@ def dp_train_step(mesh: Mesh, *, active_sh_degree: int, width: int,
         new_state = TrainState(new_model, new_opt, new_cam_res, new_cam_opt,
                                state.step + 1)
         metrics = {k: jax.lax.pmean(v, "data") for k, v in parts.items()}
+        # capacity health is a MAX across shards (each camera bins into its
+        # own per-shard instance buffer; the overflow check needs the worst
+        # one, a mean would hide a truncating shard)
+        metrics["num_rendered"] = jax.lax.pmax(
+            num_rendered.astype(jnp.float32), "data")
         return new_state, metrics
 
     spec_rep = P()

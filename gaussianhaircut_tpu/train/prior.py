@@ -39,6 +39,62 @@ def encode_strands(enc_params, points, origins, local2world, scale_decoder):
     return z, v_local
 
 
+def pretrain_strand_decoder(points, local2world, scfg, *, steps: int, key,
+                            lr: float = 1e-3, batch: int = 512,
+                            encoder_seed: int = 11) -> tuple[dict, dict]:
+    """Pretrain the StrandDecoder to invert the (fixed) StrandEncoder on a
+    strand set — the in-environment stand-in for the converted upstream
+    decoder checkpoint (decoder_checkpoint_path,
+    hair_strands_textured.yaml:9 / gaussian_model_latent_strands.py's
+    pretrained strands_generator): stage 2 then starts from a decoder that
+    already spans plausible strand geometry instead of random init, which is
+    the property the reference's pretraining provides.
+
+    Returns ({"decoder": params}, info) — feed the dict to
+    ``stage2.train(prior_params=...)`` / ``stage2.warm_start``.
+    """
+    from gaussianhaircut_tpu.models.strand_prior import StrandDecoder
+
+    n, length = points.shape[0], points.shape[1]
+    enc = StrandEncoder()
+    enc_params = enc.init(jax.random.PRNGKey(encoder_seed),
+                          jnp.zeros((1, length, 3)))
+    z_all, v_local = encode_strands(enc_params, points, points[:, :1],
+                                    local2world, scfg.scale_decoder)
+    dec = StrandDecoder(length=length)
+    dparams = dec.init(jax.random.fold_in(key, 0),
+                       jnp.zeros((1, GEOMETRY_DIM)))
+    dopt = optim.adam_init(dparams)
+    bs = min(batch, n)
+
+    @jax.jit
+    def step(dparams, dopt, key):
+        idx = jax.random.randint(key, (bs,), 0, n)
+        z = jax.lax.stop_gradient(z_all[idx])
+        target = jax.lax.stop_gradient(v_local[idx])
+
+        def loss_fn(p):
+            pred = dec.apply(p, z)
+            return jnp.mean((pred - target) ** 2)
+
+        lval, grads = jax.value_and_grad(loss_fn)(dparams)
+        ups, dopt = optim.adam_update(grads, dopt,
+                                      jax.tree.map(lambda _: lr, grads))
+        return jax.tree.map(lambda p, u: p + u, dparams, ups), dopt, lval
+
+    l0 = lval = None
+    for i in range(steps):
+        dparams, dopt, lval = step(dparams, dopt, jax.random.fold_in(key, 1 + i))
+        if i == 0:
+            l0 = float(lval)
+    info = {"decoder_pretrain_loss_start": (round(l0, 5)
+                                            if l0 is not None else None),
+            "decoder_pretrain_loss_end": (round(float(lval), 5)
+                                          if lval is not None else None),
+            "decoder_pretrain_steps": steps}
+    return {"decoder": dparams}, info
+
+
 def distill_strand_prior(points, uvs, local2world, scfg, *, steps: int,
                          key, lr: float = 1e-4, num_guiding: int = 1000,
                          encoder_seed: int = 11,

@@ -96,6 +96,36 @@ def init_hair_state(cfg: TexturedStrandsConfig, key,
                           jnp.zeros((), jnp.int32), ks, ema)
 
 
+def warm_start(state: HairTrainState, prior_params: dict) -> HairTrainState:
+    """Initialize the trainable strand decoder from a converted pretrained
+    prior (tools/convert_neuralhaircut_ckpt.py output).  The decoder stays
+    trainable — matching the reference, which loads decoder_checkpoint_path
+    and then optimizes strands_generator jointly
+    (gaussian_model_latent_strands.py:517-519).  Pytree structures must
+    match exactly (same StrandDecoder topology); a mismatch is a loud error,
+    not a silent partial load."""
+    dec = prior_params.get("decoder")
+    if dec is None:
+        return state
+    cur = state.params["decoder"]
+    cur_td = jax.tree_util.tree_structure(cur)
+    new_td = jax.tree_util.tree_structure(dec)
+    if cur_td != new_td:
+        raise ValueError(
+            f"prior decoder pytree does not match StrandDecoder: {new_td} "
+            f"vs {cur_td}")
+    for a, b in zip(jax.tree_util.tree_leaves(cur),
+                    jax.tree_util.tree_leaves(dec)):
+        if a.shape != b.shape:
+            raise ValueError(
+                f"prior decoder leaf shape mismatch: {b.shape} vs {a.shape}")
+    params = dict(state.params)
+    params["decoder"] = jax.tree.map(jnp.asarray, dec)
+    print("[stage2] warm_start: strand decoder initialized from converted "
+          "pretrained prior")
+    return state._replace(params=params, opt=optim.adam_init(params))
+
+
 def diffusion_loss(params: dict, scfg: TexturedStrandsConfig, key,
                    diffuse_mask=None, denoiser_params=None,
                    ema_denoiser=None, ema_weight=None):
@@ -288,12 +318,17 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
           cam_residuals=None, *, model_path_hair: str = "",
           checkpoint_iterations=(20000,), start_checkpoint=None,
           denoiser_params=None, diffuse_mask=None,
-          progress_callback=None) -> HairTrainState:
+          prior_params=None, progress_callback=None) -> HairTrainState:
     """Host loop (train_latent_strands.py:87-181).
 
     denoiser_params: frozen pretrained diffusion denoiser (converted upstream
     weights); None trains a self-prior denoiser jointly when
-    scfg.use_diffusion."""
+    scfg.use_diffusion.
+    prior_params: converted strand-prior pytrees (prior_io.load_prior); a
+    "decoder" section WARM-STARTS the trainable strand decoder — the
+    reference's decoder_checkpoint_path semantics (hair_strands_textured.yaml
+    via gaussian_model_latent_strands.py: pretrained decoder, then trained
+    jointly with the texture by AdamW, :517-519)."""
     import random
 
     cams = scene.train_cameras
@@ -305,6 +340,8 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
 
     state = init_hair_state(scfg, jax.random.PRNGKey(0),
                             own_denoiser=denoiser_params is None)
+    if prior_params is not None:
+        state = warm_start(state, prior_params)
     if start_checkpoint:
         state = load_checkpoint(start_checkpoint, state)
 

@@ -249,6 +249,12 @@ def main():
     ap.add_argument("--ablate_iters", type=int, default=600)
     ap.add_argument("--ablate_prior_steps", type=int, default=400)
     ap.add_argument("--ablate_lambda_sds", type=float, default=0.05)
+    ap.add_argument("--warm_start", type=int, default=0,
+                    help="pretrain the strand decoder for N steps on the "
+                    "teacher strands and warm-start stage 2 from it (the "
+                    "in-env stand-in for the reference's "
+                    "decoder_checkpoint_path pretrained decoder); 0 = cold "
+                    "start")
     ap.add_argument("--out", default="")
     ap.add_argument("--rate_probe", action="store_true",
                     help="exit after stage-2 training and record its "
@@ -344,11 +350,28 @@ def main():
                               train_orient_conf=False)
     log_every = int(os.environ.get("QUALITY_LOG_EVERY", 0))
 
+    prior_params = None
+    warm_info = {}
+    if args.warm_start:
+        from gaussianhaircut_tpu.train.prior import pretrain_strand_decoder
+        prior_params, warm_info = pretrain_strand_decoder(
+            t_pts, t_l2w, scfg, steps=args.warm_start,
+            key=jax.random.PRNGKey(2024))
+        print(f"# warm_start: decoder pretrain loss "
+              f"{warm_info['decoder_pretrain_loss_start']} -> "
+              f"{warm_info['decoder_pretrain_loss_end']} "
+              f"({args.warm_start} steps)", flush=True)
+
     cb_t = [time.time()]
     interval_rates = []
+    gnorm_max = [0.0]
 
     def cb(it, state, metrics):
+        # grad_norm sampled at the logging cadence only (a per-iter float()
+        # would force a device sync every step)
         if log_every and it % log_every == 0:
+            if "grad_norm" in metrics:
+                gnorm_max[0] = max(gnorm_max[0], float(metrics["grad_norm"]))
             now = time.time()
             dt, cb_t[0] = now - cb_t[0], now
             interval_rates.append(log_every / max(dt, 1e-9))
@@ -368,6 +391,7 @@ def main():
                          if args.ckpt_dir else ""),
         checkpoint_iterations=ckpt2,
         start_checkpoint=args.resume2 or None,
+        prior_params=prior_params,
         progress_callback=cb if log_every else None)
     dt2 = time.time() - t0
     print(f"# stage2: {args.iters2} iters in {dt2:.1f}s "
@@ -573,6 +597,10 @@ def main():
         "stage2_iters_per_sec": (None if args.resume2
                                  else round(args.iters2 / dt2, 3)),
         "stage3_iters_per_sec": round(args.iters3 / dt3, 3),
+        "warm_start": bool(args.warm_start),
+        **warm_info,
+        **({"stage2_grad_norm_max": round(gnorm_max[0], 3)}
+           if gnorm_max[0] > 0 else {}),
     }
     print(json.dumps(result))
     if args.out:

@@ -161,3 +161,25 @@ if not ONLY:
           f"fwd+bwd {fa[1]:.6e} vs {fb[1]:.6e} -> "
           f"{'BIT-IDENTICAL' if ok else 'MISMATCH'}", flush=True)
 print("rc=0", flush=True)
+
+
+def bwd_kernel_only(cfg):
+    """Backward-kernel isolation: fwd runs once OUTSIDE the timed fn."""
+    buf0 = jax.jit(lambda: pallas_core.raster_core_pallas_fwd(b, W, H, cfg))()
+    buf0 = jax.block_until_ready(buf0)
+
+    def f(eps, payload, tof, kit, buf):
+        bb = b._replace(payload=payload + eps, tile_of_chunk=tof,
+                        chunk_in_tile=kit)
+        gbuf = buf * 1e-3 + 1.0
+        gbuf = gbuf.at[..., C.NUM_CHANNELS:].set(0.0)
+        dpay = pallas_core.raster_core_pallas_bwd(bb, buf, gbuf, W, H, cfg)
+        return chk(dpay)
+    return f, buf0
+
+
+if os.environ.get("PROF_BWD"):
+    for mode in ("auto", "manual"):
+        cfg = mkcfg(io_mode=mode)
+        f, buf0 = bwd_kernel_only(cfg)
+        run(f"K_bwd io={mode}", f, *args_k, buf0)
