@@ -45,6 +45,17 @@ def _resolve_backend(cfg: C.RasterConfig) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "jnp"
 
 
+def _resolve_io(cfg: C.RasterConfig) -> C.RasterConfig:
+    """io_mode="auto" -> "manual" compiled on TPU (bench r5 winner at both
+    scales), "outblock" under interpret (the manual DMA choreography is pure
+    overhead there)."""
+    if cfg.io_mode != "auto":
+        return cfg
+    import dataclasses
+    return dataclasses.replace(
+        cfg, io_mode="outblock" if _interpret() else "manual")
+
+
 def ndc_xy_to_pixel(ndc: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     """[P, >=2] NDC -> [P, 2] pixel centers (cuda ndc2Pix)."""
     size = jnp.asarray([width, height], dtype=ndc.dtype)
@@ -110,7 +121,8 @@ def _rasterize_pallas_fwd(ndc, conic, colors, opacity, depth, valid, bg,
     # outputs carry the batch axis [B, ...].
     pre, binned = _prepare(ndc, conic, colors, opacity, depth, valid,
                            width, height, cfg, full_height, n_batch)
-    tile_buf = pallas_core.raster_core_pallas_fwd(binned, width, height, cfg,
+    tile_buf = pallas_core.raster_core_pallas_fwd(binned, width, height,
+                                                  _resolve_io(cfg),
                                                   interpret=_interpret())
     t_per = binned.num_tiles // n_batch
     tb = tile_buf.reshape(n_batch, t_per, cfg.tile_pix, C.PAD_CHANNELS)
@@ -136,7 +148,8 @@ def _rasterize_pallas_bwd(width, height, cfg, full_height, n_batch, res, cot):
     )(g_img, g_t)
     gbuf = gbuf.reshape((-1,) + gbuf.shape[2:])
     dpay = pallas_core.raster_core_pallas_bwd(
-        binned, tile_buf, gbuf, width, height, cfg, interpret=_interpret())
+        binned, tile_buf, gbuf, width, height, _resolve_io(cfg),
+        interpret=_interpret())
 
     # ---- deterministic per-Gaussian reduction ----
     # dpay carries only the 16 live gradient rows ([feat6 | colors10] — the

@@ -150,19 +150,26 @@ class RasterConfig:
                                     # expansion and sorted order, so the
                                     # permutations coincide); pick by
                                     # measured time (tools/tpu_profile_r4).
-    io_mode: str = "auto"           # auto | manual: how the compositing
-                                    # kernels move tile-sized blocks.  "auto"
-                                    # uses Pallas output pipelining with a
-                                    # scalar-prefetch-driven (tof-indexed)
-                                    # block map.  "manual" keeps those
-                                    # buffers in ANY (HBM) memory space and
-                                    # issues explicit once-per-tile DMAs from
-                                    # VMEM scratch: the r4h H-probe measured
-                                    # the auto out-block machinery + manual
-                                    # payload DMA *interaction* at ~18 ms /
-                                    # 3.6k chunks (H_fixed 26.7 ms vs H_noout
-                                    # 8.7 ms at 100k@960x544) — the dominant
-                                    # per-chunk fixed cost.
+    io_mode: str = "auto"           # auto | manual | outblock: how the
+                                    # compositing kernels move tile-sized
+                                    # blocks.  "outblock" uses Pallas output
+                                    # pipelining with a scalar-prefetch-
+                                    # driven (tof-indexed) block map.
+                                    # "manual" keeps those buffers in HBM
+                                    # (channel-major) and issues explicit
+                                    # once-per-tile DMAs from VMEM scratch:
+                                    # the r4h H-probe measured the out-block
+                                    # machinery + manual payload DMA
+                                    # *interaction* at ~18 ms / 3.6k chunks
+                                    # (H_fixed 26.7 ms vs H_noout 8.7 ms at
+                                    # 100k@960x544) — the dominant per-chunk
+                                    # fixed cost; bench r5: 18.78 -> 20.53
+                                    # it/s @100k, 2.398 -> 2.486 @1M.
+                                    # "auto" (default) resolves to "manual"
+                                    # compiled on TPU and "outblock" under
+                                    # interpret (api._resolve_io) — manual's
+                                    # DMA choreography is pure overhead in
+                                    # interpret mode.
     reduce_cumsum: str = "trimm"    # trimm | linear: the [cap, 16] inclusive
                                     # prefix-sum in the segment reduction.
                                     # "trimm" (default; r4f hardware-parity

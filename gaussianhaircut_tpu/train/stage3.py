@@ -163,6 +163,22 @@ def stage3_losses(out, gt_image, gt_mask, gt_orient_angle, gt_orient_conf,
                    "sds": l_sds, "total": total}
 
 
+def stable_spatial_lr_scale(opt_cfg: OptimizationConfig, seg_len: float,
+                            cameras_extent: float = 1.0,
+                            max_lr_per_segment: float = 0.012) -> float:
+    """Stage-3 stability bound (round-4 root cause, tools/s3_lr_probe.py):
+    cumsum-dirs moves strand TIPS by up to (L-1) x lr per Adam step, so the
+    dirs lr is kept <= ``max_lr_per_segment`` x the mean segment length.
+    Returns min(camera-extent heuristic, the stable scale).  At the
+    reference operating point (L=100, compact head scene) the extent
+    heuristic alone lands at lr/segment ~0.12, which measurably DIVERGES
+    (image l1 climbs monotonically); 0.012 refines cleanly."""
+    if seg_len <= 0:
+        return float(cameras_extent)
+    stable = max_lr_per_segment * seg_len / opt_cfg.position_lr_init
+    return float(min(cameras_extent, stable))
+
+
 def param_lrs(opt_cfg: OptimizationConfig, spatial_lr_scale: float, step):
     """gaussian_model_strands.py:578-594 (dirs follow the xyz schedule)."""
     xyz_lr = optim.expon_lr(step,
@@ -242,7 +258,7 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
           head_model, hair_params: dict, pool: ScalpPool, scene_scale,
           num_strands: int, cam_residuals=None, *, model_path_curves: str = "",
           save_iterations=(10000,), checkpoint_iterations=(10000,),
-          start_checkpoint=None, spatial_lr_scale: float = 1.0,
+          start_checkpoint=None, spatial_lr_scale="auto",
           prior=None, use_sds: bool = False, sds_seed: int = 0,
           progress_callback=None) -> CurvesTrainState:
     """Host loop (train_strands.py:87-180).
@@ -274,14 +290,22 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
                               backend=pipe_cfg.raster_backend)
     radius_scale = jnp.asarray(model_cfg.strand_scale * float(scene_scale),
                                jnp.float32)
-    # Stability check (round-4 measurement, tools/s3_lr_probe.py): the
+    # Stability bound (round-4 measurement, tools/s3_lr_probe.py): the
     # cumsum-dirs parameterization moves strand tips by up to (L-1) x lr per
     # Adam step, so the dirs lr must stay a small fraction of the segment
     # length — lr/segment ~0.12 (the reference's camera-extent heuristic at
     # L=100 on a compact scene) climbs the image loss monotonically; ~0.012
-    # refines cleanly.  Warn rather than clamp: the reference semantics allow
-    # any spatial_lr_scale (gaussian_model_strands.py:578-594).
+    # refines cleanly.  spatial_lr_scale="auto" (default) applies
+    # stable_spatial_lr_scale; an explicit float keeps the reference's
+    # any-scale semantics (gaussian_model_strands.py:578-594) with a warning.
     seg_len = float(jnp.linalg.norm(state.params.dirs, axis=-1).mean())
+    if spatial_lr_scale == "auto":
+        extent = float(getattr(scene, "cameras_extent", 1.0) or 1.0)
+        spatial_lr_scale = stable_spatial_lr_scale(opt_cfg, seg_len, extent)
+        print(f"# stage3 spatial_lr_scale(auto) = {spatial_lr_scale:.4f} "
+              f"(lr/segment = "
+              f"{opt_cfg.position_lr_init * spatial_lr_scale / max(seg_len, 1e-12):.4f})",
+              flush=True)
     lr0 = opt_cfg.position_lr_init * float(spatial_lr_scale)
     if seg_len > 0 and lr0 / seg_len > 0.05:
         print(f"[warn] stage-3 dirs lr {lr0:.2e} is {lr0 / seg_len:.2f}x the "

@@ -134,6 +134,20 @@ def main():
 
     log_every = int(os.environ.get("QUALITY_LOG_EVERY", 0))
 
+    # held-out-view curve: (iter, test_psnr, train_psnr, alive) sampled at
+    # --eval_every so overfit (train/test divergence) is visible PER RUN in
+    # the artifact, not just at the end
+    curve = []
+    from gaussianhaircut_tpu.scene.cameras import CameraBatch as _CB
+    from gaussianhaircut_tpu.train.stage1 import GtBatch as _GB
+    test_cb_batch = _CB.from_cameras(Scene.test_cameras)
+    test_cb_gt = _GB.from_cameras(Scene.test_cameras)
+    train_cb_batch = _CB.from_cameras(Scene.train_cameras)
+    train_cb_gt = _GB.from_cameras(Scene.train_cameras)
+    eval_rcfg = RasterConfig(tile_w=pipe_cfg.tile, tile_h=pipe_cfg.tile,
+                             capacity_mult=pipe_cfg.instance_capacity_mult,
+                             backend=pipe_cfg.raster_backend)
+
     def cb(it, state, metrics):
         if log_every and it % log_every == 0:
             import jax.numpy as jnp
@@ -142,15 +156,30 @@ def main():
                   f"xyz_fin={bool(jnp.isfinite(state.model.params.xyz).all())} "
                   f"scl_max={float(state.model.params.scaling.max()):.2f} "
                   f"alive={int(state.model.num_alive())}", flush=True)
+        if args.eval_every and it % args.eval_every == 0:
+            sh_deg = min(it // 1000, 3)
+            r = stage1.evaluate(
+                state, Scene.test_cameras, test_cb_batch, test_cb_gt,
+                range(len(Scene.test_cameras)), active_sh_degree=sh_deg,
+                width=res, height=res, raster_cfg=eval_rcfg,
+                model_cfg=model_cfg, name="test")
+            tr = stage1.evaluate(
+                state, Scene.train_cameras, train_cb_batch, train_cb_gt,
+                [i % len(Scene.train_cameras) for i in range(5, 30, 5)],
+                active_sh_degree=sh_deg, width=res, height=res,
+                raster_cfg=eval_rcfg, model_cfg=model_cfg, name="train")
+            curve.append({"iter": it,
+                          "test_psnr": round(float(r["test_psnr"]), 3),
+                          "train_psnr": round(float(tr["train_psnr"]), 3),
+                          "alive": int(state.model.num_alive())})
+            print(f"# curve {curve[-1]}", flush=True)
 
-    test_iters = (tuple(range(args.eval_every, args.iters + 1,
-                              args.eval_every))
-                  if args.eval_every else ())
     t0 = time.time()
     state = stage1.train(model_cfg, opt_cfg, pipe_cfg, Scene,
-                         test_iterations=test_iters, save_iterations=(),
+                         test_iterations=(), save_iterations=(),
                          checkpoint_iterations=(),
-                         progress_callback=cb if log_every else None)
+                         progress_callback=cb if (log_every or args.eval_every)
+                         else None)
     dt = time.time() - t0
     if args.save_state:
         stage1.save_checkpoint(state, args.save_state)
@@ -201,6 +230,7 @@ def main():
         "lpips_kind": report["lpips_kind"],
         "iters_per_sec": round(args.iters / dt, 3),
         "num_alive": int(state.model.num_alive()),
+        **({"heldout_curve": curve} if curve else {}),
     }
     print(json.dumps(result))
     if args.out:

@@ -520,14 +520,11 @@ def main():
                             @ c.colmap_transform[:3, 3] for c in cams])
         extent = float(1.1 * np.max(
             np.linalg.norm(centers - centers.mean(0), axis=-1)))
-        from gaussianhaircut_tpu.config import OptimizationConfig as _OC
         seg = float(np.linalg.norm(
             np.asarray(t_pts[:, 1:] - t_pts[:, :-1]), axis=-1).mean())
-        stable = 0.012 * seg / _OC.position_lr_init
-        spatial_lr3 = min(extent, stable)
+        spatial_lr3 = stage3.stable_spatial_lr_scale(opt3, seg, extent)
         print(f"# stage3 spatial_lr_scale(auto) = {spatial_lr3:.4f} "
-              f"(extent {extent:.4f}, stability bound {stable:.4f})",
-              flush=True)
+              f"(extent {extent:.4f})", flush=True)
 
     cb3_t = [time.time()]
 
