@@ -353,6 +353,18 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
     logger = MetricsLogger(model_path_hair) if model_path_hair else None
     rng = random.Random(0)
     stack = []
+    # static-capacity health (stage-1's arena-resize analog): the strand
+    # count is fixed, but the per-camera instance footprint varies with view
+    # and with the decoder's geometry.  GROW on overflow (correctness: the
+    # CUDA arena never drops instances); SHRINK once after warmup when the
+    # running max shows large headroom (binning/sort cost scales with
+    # capacity — a 2x oversized buffer is a ~2x slower sort).
+    import dataclasses as _dc
+    import math as _math
+    n_fit = head.xyz.shape[0] + scfg.num_strands * (scfg.strand_length - 1)
+    instance_cap = raster_cfg.instance_capacity(n_fit)
+    nr_max = 0.0
+    shrunk = False
     for iteration in range(int(state.step) + 1, opt_cfg.iterations + 1):
         if not stack:
             stack = list(range(len(cams)))
@@ -366,6 +378,32 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
             scfg=scfg, width=width, height=height, raster_cfg=raster_cfg,
             opt_cfg=opt_cfg, white_background=model_cfg.white_background,
             total_iters=opt_cfg.iterations)
+        if iteration % 100 == 0:
+            nr = float(metrics["num_rendered"])
+            nr_max = max(nr_max, nr)
+            occ = nr / instance_cap
+            if occ > 1.0:
+                new_mult = max(raster_cfg.capacity_mult + 1,
+                               _math.ceil(raster_cfg.capacity_mult * occ * 1.25))
+                print(f"\n[s2 iter {iteration}] instance buffer overflow "
+                      f"({int(nr)} > {instance_cap}): growing capacity_mult "
+                      f"{raster_cfg.capacity_mult} -> {new_mult}", flush=True)
+                raster_cfg = _dc.replace(raster_cfg, capacity_mult=new_mult)
+                instance_cap = raster_cfg.instance_capacity(n_fit)
+            elif (not shrunk and iteration >= 500
+                  and nr_max < 0.45 * instance_cap):
+                # generous margin: the student's footprint can grow ~2.3x
+                # past early renders (NOTES_ROUND4 capacity lesson)
+                new_mult = max(1, _math.ceil(
+                    raster_cfg.capacity_mult * (nr_max / instance_cap) * 1.8))
+                if new_mult < raster_cfg.capacity_mult:
+                    print(f"\n[s2 iter {iteration}] right-sizing capacity_mult "
+                          f"{raster_cfg.capacity_mult} -> {new_mult} "
+                          f"(max num_rendered {int(nr_max)})", flush=True)
+                    raster_cfg = _dc.replace(raster_cfg,
+                                             capacity_mult=new_mult)
+                    instance_cap = raster_cfg.instance_capacity(n_fit)
+                shrunk = True
         if logger and iteration % 10 == 0:
             logger.scalars(iteration, **{k: float(v) for k, v in metrics.items()})
         if progress_callback:

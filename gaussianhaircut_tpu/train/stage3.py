@@ -319,6 +319,15 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
     if use_sds and prior is None:
         raise ValueError("use_sds requires a prior ({'encoder', 'denoiser'})")
     sds_base_key = jax.random.PRNGKey(sds_seed)
+    # static-capacity health (see stage2.train): strand geometry is frozen
+    # in count, so one growth check + one optional shrink suffice
+    import dataclasses as _dc
+    import math as _math
+    n_fit = head.xyz.shape[0] + state.params.dirs.shape[0] * (
+        state.params.dirs.shape[1])
+    instance_cap = raster_cfg.instance_capacity(n_fit)
+    nr_max = 0.0
+    shrunk = False
     for iteration in range(int(state.step) + 1, opt_cfg.iterations + 1):
         if not stack:
             stack = list(range(len(cams)))
@@ -333,6 +342,30 @@ def train(model_cfg, opt_cfg, scfg: TexturedStrandsConfig, pipe_cfg, scene,
             scfg=scfg, width=width, height=height, raster_cfg=raster_cfg,
             opt_cfg=opt_cfg, white_background=model_cfg.white_background,
             spatial_lr_scale=spatial_lr_scale, use_sds=use_sds)
+        if iteration % 100 == 0:
+            nr = float(metrics["num_rendered"])
+            nr_max = max(nr_max, nr)
+            occ = nr / instance_cap
+            if occ > 1.0:
+                new_mult = max(raster_cfg.capacity_mult + 1,
+                               _math.ceil(raster_cfg.capacity_mult * occ * 1.25))
+                print(f"\n[s3 iter {iteration}] instance buffer overflow "
+                      f"({int(nr)} > {instance_cap}): growing capacity_mult "
+                      f"{raster_cfg.capacity_mult} -> {new_mult}", flush=True)
+                raster_cfg = _dc.replace(raster_cfg, capacity_mult=new_mult)
+                instance_cap = raster_cfg.instance_capacity(n_fit)
+            elif (not shrunk and iteration >= 300
+                  and nr_max < 0.5 * instance_cap):
+                new_mult = max(1, _math.ceil(
+                    raster_cfg.capacity_mult * (nr_max / instance_cap) * 1.6))
+                if new_mult < raster_cfg.capacity_mult:
+                    print(f"\n[s3 iter {iteration}] right-sizing capacity_mult "
+                          f"{raster_cfg.capacity_mult} -> {new_mult} "
+                          f"(max num_rendered {int(nr_max)})", flush=True)
+                    raster_cfg = _dc.replace(raster_cfg,
+                                             capacity_mult=new_mult)
+                    instance_cap = raster_cfg.instance_capacity(n_fit)
+                shrunk = True
         if logger and iteration % 10 == 0:
             logger.scalars(iteration, **{k: float(v) for k, v in metrics.items()})
         if progress_callback:
