@@ -80,7 +80,9 @@ def run_config(p, width, height, iters, *, is_headline=False):
             reduce_mode=os.environ.get("BENCH_REDUCE", "rowmajor"),
             reduce_cumsum=os.environ.get("BENCH_REDUCE_CUMSUM", "trimm"),
             pair_cull=bool(int(os.environ.get("BENCH_PAIR_CULL", "0"))),
-            io_mode=os.environ.get("BENCH_IO", "auto"))
+            io_mode=os.environ.get("BENCH_IO", "auto"),
+            step_chunks=int(os.environ.get("BENCH_STEP_CHUNKS", "1")),
+            pay_gather=os.environ.get("BENCH_PAY", "rows"))
 
     # probe at a generous capacity, then right-size to the measured instance
     # count + headroom (the bench analog of the trainer's auto-grow: capacity

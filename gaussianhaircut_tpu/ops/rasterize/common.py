@@ -170,6 +170,34 @@ class RasterConfig:
                                     # interpret (api._resolve_io) — manual's
                                     # DMA choreography is pure overhead in
                                     # interpret mode.
+    pay_gather: str = "rows"        # rows | cm: payload materialization
+                                    # layout.  "rows" gathers [S, 18] rows of
+                                    # the per-Gaussian pack (each row lane-
+                                    # padded to 128 by Mosaic/XLA tiling);
+                                    # "cm" gathers along the MINOR axis of
+                                    # the transposed [18, P] pack (18 logical
+                                    # f32 per instance) and reshapes — the
+                                    # same payload bytes, a different
+                                    # gather-axis layout.  The r5d 1M
+                                    # decomposition measured the row gather
+                                    # at 92 ms of the 193 ms binning; pick by
+                                    # bench A/B (bit-identical either way).
+    step_chunks: int = 1            # chunks processed per KERNEL GRID STEP
+                                    # (manual io_mode only; the outblock
+                                    # path's per-chunk block maps can't be
+                                    # grouped).  The r4h H-probe measured a
+                                    # ~2.4 us/chunk skeleton floor (grid-step
+                                    # bookkeeping + per-chunk DMA issue/wait)
+                                    # even after manual IO removed the
+                                    # out-block machinery; grouping G chunks
+                                    # per step divides that floor by G while
+                                    # keeping the tile CHUNK alignment at
+                                    # cfg.chunk (the r5 chunk re-sweep showed
+                                    # bigger ALIGNMENT loses by padding tiles
+                                    # — this grows the step, not the
+                                    # alignment).  Payload DMA moves G chunks
+                                    # per copy; per-chunk early-exit and
+                                    # flush logic are unrolled in-kernel.
     reduce_cumsum: str = "trimm"    # trimm | linear: the [cap, 16] inclusive
                                     # prefix-sum in the segment reduction.
                                     # "trimm" (default; r4f hardware-parity
@@ -556,12 +584,13 @@ def bin_instances(pre: Preprocessed, mean_pix: jnp.ndarray, conic: jnp.ndarray,
                          tile_start, gid_sorted,
                          src_sorted if carry_src else None,
                          offsets, total, p, cap, ch, num_tiles,
-                         cnt_live)
+                         cnt_live, pay_cm=cfg.pay_gather == "cm")
 
 
 def _chunk_layout(pre, mean_pix, conic, opacity, colors, counts, tile_start,
                   gid_sorted, src_sorted, gauss_offset, total, p, cap, ch,
-                  num_tiles, cnt_live=None, total_bound=None) -> Binned:
+                  num_tiles, cnt_live=None, total_bound=None,
+                  pay_cm=False) -> Binned:
     """Shared chunk-aligned layout + payload materialization: sorted streams
     (flat [>= cap]) -> Binned.  ``tile_start`` holds each tile's position in
     the flat sorted stream (per-camera base included in the batched path)."""
@@ -624,8 +653,16 @@ def _chunk_layout(pre, mean_pix, conic, opacity, colors, counts, tile_start,
         colors,
     ], axis=-1)                                                      # [P, ncol]
     pack = jnp.pad(pack, ((0, 1), (0, 0)))                           # row P = 0
-    rows = pack[gid_slot]                                            # [TC, ch, ncol]
-    payload = jnp.pad(rows.swapaxes(1, 2),
+    if pay_cm:
+        # channel-major gather: 18 logical f32 per instance along the minor
+        # axis of [ncol, P+1] instead of [S, ncol] rows lane-padded to 128
+        # (see RasterConfig.pay_gather); identical payload bytes
+        tc_n = gid_slot.shape[0]
+        cols_g = jnp.take(pack.T, gid_slot.reshape(-1), axis=1)      # [ncol, S]
+        rows_t = cols_g.reshape(ncol, tc_n, ch).transpose(1, 0, 2)   # [TC, ncol, ch]
+    else:
+        rows_t = pack[gid_slot].swapaxes(1, 2)                       # [TC, ncol, ch]
+    payload = jnp.pad(rows_t,
                       ((0, 0), (0, 8 + PAD_CHANNELS - ncol), (0, 0)))
 
     # chunks past the last real one (static capacity headroom) are marked -1
@@ -782,7 +819,8 @@ def _bin_instances_batched(pre, mean_pix, conic, opacity, colors, depth,
                          tile_start, gid_sorted.reshape(cap),
                          src_sorted.reshape(cap) if carry_src else None,
                          gauss_offset, total, p, cap, ch, num_tiles,
-                         cnt_live, total_bound=total_bound)
+                         cnt_live, total_bound=total_bound,
+                         pay_cm=cfg.pay_gather == "cm")
 
 
 def assemble_image(tile_buf: jnp.ndarray, bg: jnp.ndarray, width: int,

@@ -316,48 +316,74 @@ def _chunk_blend_quantities(feat, u_tri, basis, lt_in, done_in, tile_x0,
 
 # ---------------------------------------------------------------- forward ---
 
-def _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, idx):
-    """Async copy of chunk `idx`'s payload HBM -> VMEM slot idx % 2."""
-    slot = jax.lax.rem(idx, 2)
-    return pltpu.make_async_copy(pay_hbm_ref.at[idx],
+def _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, gidx, group):
+    """Async copy of grid step `gidx`'s `group` payload chunks HBM -> VMEM
+    slot gidx % 2 (one DMA moves the whole group)."""
+    slot = jax.lax.rem(gidx, 2)
+    if group == 1:
+        return pltpu.make_async_copy(pay_hbm_ref.at[gidx],
+                                     pay_buf_ref.at[slot, 0],
+                                     sems_ref.at[slot])
+    return pltpu.make_async_copy(pay_hbm_ref.at[pl.ds(gidx * group, group)],
                                  pay_buf_ref.at[slot],
                                  sems_ref.at[slot])
 
 
+def _any_k(kit_ref, base, group, pred):
+    """Scalar OR of pred(kit) over a group's chunks (static unroll)."""
+    out = pred(kit_ref[base])
+    for i in range(1, group):
+        out = out | pred(kit_ref[base + i])
+    return out
+
+
 def _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
-                        issued_ref, c, flag_ref):
+                        issued_ref, g, flag_ref, group):
     """Manual payload pipeline, start-of-step half: wait for the DMA the
-    previous step issued for this chunk (tracked by an SMEM bit), cold-start
-    chunk 0, then OPTIMISTICALLY prefetch chunk c+1 if it may compute
-    (same-tile continuation of a currently-not-done tile, or a new tile's
-    first chunk) so the copy overlaps this chunk's compute.
+    previous step issued for this step's group (tracked by an SMEM bit),
+    cold-start group 0, then OPTIMISTICALLY prefetch group g+1 if any of its
+    chunks may compute (a new tile starts in it, or it continues a tile that
+    is either currently not done or (re)starts within THIS group — the done
+    flag is only updated chunk-by-chunk inside the compute loop, so the
+    group-level decision must cover the reset case) so the copy overlaps
+    this group's compute.
 
     Why manual: the automatic per-step block fetch costs ~2.9 us of DMA
     latency even for chunks the early-exit vote skips — the dominant kernel
-    cost on saturated scenes.  Skipped chunks here issue no DMA at all
+    cost on saturated scenes.  Skipped groups here issue no DMA at all
     (the CUDA kernel's early loop exit, forward.cu:334-337).  The only
-    wasted prefetch is the one chunk right after a tile latches done."""
-    nc = pl.num_programs(0)
+    wasted prefetch is the one group right after a tile latches done."""
+    ng = pl.num_programs(0)
+    base = g * group
 
-    @pl.when((c > 0) & (issued_ref[0] == 1))
+    @pl.when((g > 0) & (issued_ref[0] == 1))
     def _():
-        _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, c).wait()
+        _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, g, group).wait()
 
-    @pl.when((c == 0) & (kit_ref[0] >= 0) & (flag_ref[0] < 0.5))
+    # group 0 cold start: a new tile starts inside it, or its first chunk
+    # continues a not-done tile (flag restored by the segment-continuation
+    # branch, which runs before this)
+    may0 = _any_k(kit_ref, 0, group, lambda k: k == 0) | (
+        (kit_ref[0] > 0) & (flag_ref[0] < 0.5))
+
+    @pl.when((g == 0) & may0)
     def _():
-        dma = _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, c)
+        dma = _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, g, group)
         dma.start()
         dma.wait()
 
-    nxt = jnp.minimum(c + 1, nc - 1)
-    k_nxt = kit_ref[nxt]
-    prefetch = (c + 1 < nc) & (
-        (k_nxt == 0) | ((k_nxt > 0) & (flag_ref[0] < 0.5)))
+    nxt = jnp.minimum(g + 1, ng - 1) * group
+    any_new_nxt = _any_k(kit_ref, nxt, group, lambda k: k == 0)
+    any_cont_nxt = _any_k(kit_ref, nxt, group, lambda k: k > 0)
+    cur_new = _any_k(kit_ref, base, group, lambda k: k == 0)
+    prefetch = (g + 1 < ng) & (
+        any_new_nxt
+        | (any_cont_nxt & ((flag_ref[0] < 0.5) | cur_new)))
     issued_ref[0] = prefetch.astype(jnp.int32)
 
     @pl.when(prefetch)
     def _():
-        _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, c + 1).start()
+        _pay_dma(pay_hbm_ref, pay_buf_ref, sems_ref, g + 1, group).start()
 
 
 def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
@@ -365,7 +391,8 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 out_ref, acc_out_ref, dt_out_ref,
                 acc_ref, dt_ref, flag_ref, pay_buf_ref, sems_ref, issued_ref,
                 flush_buf_ref=None, fsem_ref=None, fstate_ref=None,
-                *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int):
+                *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int,
+                group: int, seg_len: int):
     # The running accumulators live in VMEM *scratch*, which is
     # single-buffered and persists across grid steps.  Accumulating through
     # out_ref instead is unsafe: output blocks are multi-buffered and with a
@@ -378,38 +405,40 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     # accumulator costs like a full [PIX, CH] pass (measured ~6.4 us/chunk of
     # pure overhead at PIX=1024 before this layout).  Hence: the pixel basis
     # arrives as a constant input (not recomputed per chunk), (T, done) live
-    # in a slim [PIX, 2] scratch, and the output tile is written ONCE per
-    # tile at its last chunk instead of every chunk.
-    c = pl.program_id(0)
-    tile = tof_ref[c]
-    k = kit_ref[c]
+    # in a slim [PIX, 2] scratch, the output tile is written ONCE per tile at
+    # its last chunk instead of every chunk, and `group` chunks share one
+    # grid step + one payload DMA (cfg.step_chunks: the grid-step skeleton
+    # itself is the measured floor after the manual-IO change).
+    g = pl.program_id(0)
+    base = g * group
     pix = cfg.tile_pix
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:, :] = jnp.zeros((pix, C.PAD_CHANNELS), _F32)
-        # dt carries (log T, done): T = 1 -> log T = 0
-        dt_ref[:, :] = jnp.zeros((pix, 2), _F32)
-        flag_ref[0] = 0.0
+    ng = pl.num_programs(0)
 
     # a tile continuing from the previous SEGMENT restores its running state
     # (the segment loop bounds the SMEM scalar-prefetch arrays; a single
     # pallas_call over all chunks crashed the worker at ~10k chunks)
-    @pl.when((c == 0) & (k != 0))
+    @pl.when((g == 0) & (kit_ref[0] != 0))
     def _():
         acc_ref[:, :] = acc_in_ref[:, :]
         dt_ref[:, :] = dt_in_ref[:, :]
         flag_ref[0] = jnp.min(dt_in_ref[:, 1:2])
 
+    if cfg.io_mode == "manual":
+        # fstate: [0] = a flush is in flight, [1] = its destination tile.
+        @pl.when(g == 0)
+        def _():
+            fstate_ref[0] = 0
+            fstate_ref[1] = 0
+
     _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
-                        issued_ref, c, flag_ref)
-    slot = jax.lax.rem(c, 2)
+                        issued_ref, g, flag_ref, group)
+    slot = jax.lax.rem(g, 2)
 
     # early termination at tile granularity (the block-vote analog of
-    # forward.cu:334-337): skip the chunk when every pixel latched done.
+    # forward.cu:334-337): skip a chunk when every pixel latched done.
     # The vote is a scalar SMEM flag maintained by the active branch — a
-    # per-step [PIX]-min reduction costs ~1 us even on skipped chunks.
-    # The chunk is processed as SUB-chunks of <= 128 instances FUSED into
+    # per-chunk [PIX]-min reduction costs ~1 us even on skipped chunks.
+    # Each chunk is processed as SUB-chunks of <= 128 instances FUSED into
     # one predicated body: (log T, done) flow through registers between
     # sub-chunks and the accumulator/carry refs are touched ONCE per chunk
     # (the per-sub-chunk acc/dt read-write passes over 128-lane-padded
@@ -417,99 +446,107 @@ def _fwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
     # done-latch skip, which fires at most once per tile).
     sub = _subchunk(cfg)
 
-    @pl.when((k >= 0) & (flag_ref[0] < 0.5))
-    def _():
-        lt = dt_ref[:, 0:1]
-        done = dt_ref[:, 1:2]
-        # % gy_grid: in the batched-camera virtual grid the tile id is
-        # offset by cam * gx * gy, but instance coordinates stay in each
-        # camera's own pixel frame
-        tile_x0 = (tile % gx_grid) * cfg.tile_w
-        tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
-        adims = (((1,), (1,)), ((), ()))
-        acc_new = None
-        for j in range(cfg.chunk // sub):
-            q = _chunk_blend_quantities(
-                pay_buf_ref[slot, :8, j * sub:(j + 1) * sub], u_ref[:, :],
-                basis_ref[:, :], lt, done, tile_x0, tile_y0,
-                power_mode=_resolve_power_mode(cfg), half=_half(cfg))
-            # colT rows 10..15 are zero-padded, so += never touches the
-            # done/trans lanes
-            if cfg.fwd_acc == "bf16x2":
-                d = _dot_split2(
-                    q["w"], pay_buf_ref[slot, 8:24, j * sub:(j + 1) * sub],
-                    adims)
-            else:
-                d = jax.lax.dot_general(
-                    q["w"], pay_buf_ref[slot, 8:24, j * sub:(j + 1) * sub],
-                    adims, preferred_element_type=_F32, precision=_HI)
-            acc_new = d if acc_new is None else acc_new + d
-            lt, done = q["lt_new"], q["done_new"]
-        acc_ref[:, :] += acc_new
-        dt_ref[:, :] = jnp.concatenate([lt, done], axis=1)
-        flag_ref[0] = jnp.min(done)
-
-    nc = pl.num_programs(0)
-    is_last = (c == nc - 1) | (tof_ref[jnp.minimum(c + 1, nc - 1)] != tile)
-
     def _merged():
         lane = jax.lax.broadcasted_iota(jnp.int32, (pix, C.PAD_CHANNELS), 1)
         merged = jnp.where(lane == C.CH_DONE, dt_ref[:, 1:2], acc_ref[:, :])
         # the carry holds log T; the tile buffer contract stays linear T
         return jnp.where(lane == C.CH_TRANS, jnp.exp(dt_ref[:, 0:1]), merged)
 
-    if cfg.io_mode == "manual":
-        # MANUAL tile flush: the finished tile goes to the HBM output through
-        # an explicit DMA from a VMEM staging buffer instead of the automatic
-        # tof-indexed out-block pipeline (whose interaction with the manual
-        # payload DMA is the measured per-chunk fixed-cost floor — see
-        # RasterConfig.io_mode).  The HBM tile buffer is CHANNEL-MAJOR
-        # [tiles, PAD_CHANNELS, pix]: a pixel-major [tiles, pix, 16] layout
-        # is not DMA-sliceable (Mosaic requires tile-aligned slices and pads
-        # the 16-channel minor axis to 128 lanes); channel-major slices are
-        # (16, 1024) = whole sublane/lane tiles, like the payload buffer.
-        # The kernel math stays pixel-major; one per-tile [pix, 16] -> [16,
-        # pix] transpose at the flush is the entire relayout cost.
-        # Single staging slot: at most one flush is in flight; the next
-        # tile's >= 1 chunk of compute hides the copy, and the wait below
-        # settles it before reuse.
-        # fstate: [0] = a flush is in flight, [1] = its destination tile.
-        @pl.when(c == 0)
-        def _():
-            fstate_ref[0] = 0
-            fstate_ref[1] = 0
+    for i in range(group):
+        c = base + i
+        tile = tof_ref[c]
+        k = kit_ref[c]
 
-        @pl.when(is_last)
-        def _():
-            @pl.when(fstate_ref[0] == 1)
+        @pl.when(k == 0)
+        def _(k=k):
+            acc_ref[:, :] = jnp.zeros((pix, C.PAD_CHANNELS), _F32)
+            # dt carries (log T, done): T = 1 -> log T = 0
+            dt_ref[:, :] = jnp.zeros((pix, 2), _F32)
+            flag_ref[0] = 0.0
+
+        @pl.when((k >= 0) & (flag_ref[0] < 0.5))
+        def _(i=i, tile=tile):
+            lt = dt_ref[:, 0:1]
+            done = dt_ref[:, 1:2]
+            # % gy_grid: in the batched-camera virtual grid the tile id is
+            # offset by cam * gx * gy, but instance coordinates stay in each
+            # camera's own pixel frame
+            tile_x0 = (tile % gx_grid) * cfg.tile_w
+            tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
+            adims = (((1,), (1,)), ((), ()))
+            acc_new = None
+            for j in range(cfg.chunk // sub):
+                q = _chunk_blend_quantities(
+                    pay_buf_ref[slot, i, :8, j * sub:(j + 1) * sub],
+                    u_ref[:, :],
+                    basis_ref[:, :], lt, done, tile_x0, tile_y0,
+                    power_mode=_resolve_power_mode(cfg), half=_half(cfg))
+                # colT rows 10..15 are zero-padded, so += never touches the
+                # done/trans lanes
+                if cfg.fwd_acc == "bf16x2":
+                    d = _dot_split2(
+                        q["w"],
+                        pay_buf_ref[slot, i, 8:24, j * sub:(j + 1) * sub],
+                        adims)
+                else:
+                    d = jax.lax.dot_general(
+                        q["w"],
+                        pay_buf_ref[slot, i, 8:24, j * sub:(j + 1) * sub],
+                        adims, preferred_element_type=_F32, precision=_HI)
+                acc_new = d if acc_new is None else acc_new + d
+                lt, done = q["lt_new"], q["done_new"]
+            acc_ref[:, :] += acc_new
+            dt_ref[:, :] = jnp.concatenate([lt, done], axis=1)
+            flag_ref[0] = jnp.min(done)
+
+        is_last = (c == seg_len - 1) | (
+            tof_ref[jnp.minimum(c + 1, seg_len - 1)] != tile)
+
+        if cfg.io_mode == "manual":
+            # MANUAL tile flush: the finished tile goes to the HBM output
+            # through an explicit DMA from a VMEM staging buffer instead of
+            # the automatic tof-indexed out-block pipeline (whose interaction
+            # with the manual payload DMA is the measured per-chunk
+            # fixed-cost floor — see RasterConfig.io_mode).  The HBM tile
+            # buffer is CHANNEL-MAJOR [tiles, PAD_CHANNELS, pix]: a
+            # pixel-major [tiles, pix, 16] layout is not DMA-sliceable
+            # (Mosaic requires tile-aligned slices and pads the 16-channel
+            # minor axis to 128 lanes); channel-major slices are (16, 1024)
+            # = whole sublane/lane tiles, like the payload buffer.  The
+            # kernel math stays pixel-major; one per-tile [pix, 16] -> [16,
+            # pix] transpose at the flush is the entire relayout cost.
+            # Single staging slot: at most one flush is in flight; the next
+            # tile's >= 1 chunk of compute hides the copy, and the wait
+            # below settles it before reuse.
+            @pl.when(is_last)
+            def _(tile=tile):
+                @pl.when(fstate_ref[0] == 1)
+                def _():
+                    pltpu.make_async_copy(flush_buf_ref,
+                                          out_ref.at[fstate_ref[1]],
+                                          fsem_ref).wait()
+                flush_buf_ref[:, :] = _merged().T
+                pltpu.make_async_copy(flush_buf_ref, out_ref.at[tile],
+                                      fsem_ref).start()
+                fstate_ref[0] = 1
+                fstate_ref[1] = tile
+        else:
+            @pl.when(is_last)
             def _():
-                pltpu.make_async_copy(flush_buf_ref,
-                                      out_ref.at[fstate_ref[1]],
-                                      fsem_ref).wait()
-            flush_buf_ref[:, :] = _merged().T
-            pltpu.make_async_copy(flush_buf_ref, out_ref.at[tile],
-                                  fsem_ref).start()
-            fstate_ref[0] = 1
-            fstate_ref[1] = tile
+                out_ref[0] = _merged()
 
-        # drain before the pallas_call returns (the is_last flush above has
-        # already fired for this chunk, so exactly one copy is in flight)
-        @pl.when(c == nc - 1)
-        def _():
-            @pl.when(fstate_ref[0] == 1)
-            def _():
-                pltpu.make_async_copy(flush_buf_ref,
-                                      out_ref.at[fstate_ref[1]],
-                                      fsem_ref).wait()
-            fstate_ref[0] = 0
-    else:
-        @pl.when(is_last)
-        def _():
-            out_ref[0] = _merged()
-
-    # hand the running state to the next segment
-    @pl.when(c == nc - 1)
+    @pl.when(g == ng - 1)
     def _():
+        if cfg.io_mode == "manual":
+            # drain before the pallas_call returns (the last is_last flush
+            # has already fired, so at most one copy is in flight)
+            @pl.when(fstate_ref[0] == 1)
+            def _():
+                pltpu.make_async_copy(flush_buf_ref,
+                                      out_ref.at[fstate_ref[1]],
+                                      fsem_ref).wait()
+                fstate_ref[0] = 0
+        # hand the running state to the next segment
         acc_out_ref[:, :] = acc_ref[:, :]
         dt_out_ref[:, :] = dt_ref[:, :]
 
@@ -519,6 +556,34 @@ def _segments(tc: int, seg: int) -> list[tuple[int, int]]:
     if seg <= 0:
         seg = tc
     return [(s, min(seg, tc - s)) for s in range(0, max(tc, 1), seg)]
+
+
+def _resolve_group(cfg: C.RasterConfig) -> int:
+    """Effective step-group size: cfg.step_chunks under manual IO, else 1
+    (the outblock path's per-chunk block index maps cannot be grouped)."""
+    if cfg.io_mode != "manual":
+        return 1
+    g = max(1, int(cfg.step_chunks))
+    if cfg.segment_chunks > 0:
+        assert cfg.segment_chunks % g == 0, (
+            f"segment_chunks {cfg.segment_chunks} not a multiple of "
+            f"step_chunks {g}")
+    return g
+
+
+def _grouped_segments(tc: int, seg: int, group: int
+                      ) -> list[tuple[int, int, int]]:
+    """[(start, length, group)] covering [0, tc): each _segments window is
+    split into a group-aligned grouped part plus an ungrouped (group=1)
+    ragged tail, so the total chunk count never needs padding."""
+    out = []
+    for start, length in _segments(tc, seg):
+        gl = length - (length % group)
+        if gl:
+            out.append((start, gl, group))
+        if length % group:
+            out.append((start + gl, length % group, 1))
+    return out
 
 
 def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
@@ -536,13 +601,12 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
     sub = _subchunk(cfg)
     u_tri = jnp.asarray(_tri_incl(sub), dtype=_F32)
     basis = _pixel_basis(cfg)
-    kernel = functools.partial(_fwd_kernel, cfg=cfg, gx_grid=gx_grid,
-                               gy_grid=gy_grid)
 
     acc_c = jnp.zeros((pix, C.PAD_CHANNELS), _F32)
     dt_c = jnp.zeros((pix, 2), _F32)
 
     manual = cfg.io_mode == "manual"
+    group = _resolve_group(cfg)
     if manual:
         # Channel-major HBM buffer (see the flush comment in _fwd_kernel):
         # explicit HBM, and [tiles, 16, pix] so the per-tile DMA slice is
@@ -554,10 +618,14 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
         tile_out_spec = pl.BlockSpec((1, pix, C.PAD_CHANNELS),
                                      lambda c, tof, kit: (tof[c], 0, 0))
     bigbuf = jnp.zeros(tile_shape, _F32)
-    for start, length in _segments(tc, cfg.segment_chunks):
+    for start, length, grp in _grouped_segments(tc, cfg.segment_chunks,
+                                                group):
+        kernel = functools.partial(_fwd_kernel, cfg=cfg, gx_grid=gx_grid,
+                                   gy_grid=gy_grid, group=grp,
+                                   seg_len=length)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(length,),
+            grid=(length // grp,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # payload (manual DMA)
                 pl.BlockSpec((sub, sub), lambda c, tof, kit: (0, 0)),
@@ -575,7 +643,7 @@ def raster_core_pallas_fwd(binned: C.Binned, width: int, height: int,
             scratch_shapes=[pltpu.VMEM((pix, C.PAD_CHANNELS), _F32),
                             pltpu.VMEM((pix, 2), _F32),
                             pltpu.SMEM((1,), _F32),
-                            pltpu.VMEM((2, 24, ch), _F32),
+                            pltpu.VMEM((2, grp, 24, ch), _F32),
                             pltpu.SemaphoreType.DMA((2,)),
                             pltpu.SMEM((1,), jnp.int32)]
             + ([pltpu.VMEM((C.PAD_CHANNELS, pix), _F32),   # flush staging (cm)
@@ -613,10 +681,10 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 g_buf_ref=None, o_stage_ref=None, g_pix_ref=None,
                 go_sem_ref=None,
                 dstage_ref=None, dsem_ref=None, dstate_ref=None,
-                *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int):
-    c = pl.program_id(0)
-    tile = tof_ref[c]
-    k = kit_ref[c]
+                *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int,
+                group: int, seg_len: int):
+    gstep = pl.program_id(0)
+    base = gstep * group
     pix = cfg.tile_pix
     manual = cfg.io_mode == "manual"
 
@@ -630,11 +698,76 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
         # here (same op order as the auto path, so results are
         # bit-identical).  dstate: [0] = a dpay store is in flight,
         # [1] = its destination chunk.
-        @pl.when(c == 0)
+        @pl.when(gstep == 0)
         def _():
             dstate_ref[0] = 0
             dstate_ref[1] = 0
 
+    # tile continuing from the previous segment
+    @pl.when((gstep == 0) & (kit_ref[0] != 0))
+    def _():
+        carry_ref[:, :] = carry_in_ref[:, :]
+        flag_ref[0] = jnp.min(carry_in_ref[:, 1:2])
+        if manual:
+            # the g staging scratch is fresh in this pallas_call: re-fetch
+            # the continued tile's cotangent block (total is in the carry,
+            # so obuf is not needed again)
+            tile0 = tof_ref[0]
+            pltpu.make_async_copy(gbuf_ref.at[tile0], g_buf_ref,
+                                  go_sem_ref.at[0]).start()
+            pltpu.make_async_copy(gbuf_ref.at[tile0], g_buf_ref,
+                                  go_sem_ref.at[0]).wait()
+            g_pix_ref[:, :] = g_buf_ref[:, :].T
+
+    if manual:
+        ch = dstage_ref.shape[-1]
+    else:
+        ch = dpay_ref.shape[-1]
+        dpay_ref[0] = jnp.zeros((6 + C.NUM_CHANNELS, ch), _F32)
+
+    _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
+                        issued_ref, gstep, flag_ref, group)
+    slot = jax.lax.rem(gstep, 2)
+
+    # same tile-level early termination as the forward: once every pixel
+    # latched done, remaining chunks contribute zero gradient.  Sub-chunks
+    # are FUSED into one predicated body like the forward's: (log T, done,
+    # prefix) flow through registers and the carry ref is touched once per
+    # chunk.
+    sub = _subchunk(cfg)
+
+    for i in range(group):
+        _bwd_chunk(base + i, i, slot, tof_ref, kit_ref, u_ref, basis_ref,
+                   gbuf_ref, obuf_ref, dpay_ref, carry_ref, flag_ref,
+                   pay_buf_ref, g_buf_ref, o_stage_ref, g_pix_ref,
+                   go_sem_ref, dstage_ref, dsem_ref, dstate_ref,
+                   cfg=cfg, gx_grid=gx_grid, gy_grid=gy_grid, pix=pix,
+                   manual=manual, ch=ch, sub=sub)
+
+    @pl.when(gstep == pl.num_programs(0) - 1)
+    def _():
+        if manual:
+            # drain the last in-flight dpay store
+            @pl.when(dstate_ref[0] == 1)
+            def _():
+                pltpu.make_async_copy(dstage_ref,
+                                      dpay_ref.at[dstate_ref[1]],
+                                      dsem_ref).wait()
+                dstate_ref[0] = 0
+        carry_out_ref[:, :] = carry_ref[:, :]
+
+
+def _bwd_chunk(c, i, slot, tof_ref, kit_ref, u_ref, basis_ref,
+               gbuf_ref, obuf_ref, dpay_ref, carry_ref, flag_ref,
+               pay_buf_ref, g_buf_ref, o_stage_ref, g_pix_ref,
+               go_sem_ref, dstage_ref, dsem_ref, dstate_ref,
+               *, cfg: C.RasterConfig, gx_grid: int, gy_grid: int, pix: int,
+               manual: bool, ch: int, sub: int):
+    """One chunk of the backward sweep (unrolled `group` times per step)."""
+    tile = tof_ref[c]
+    k = kit_ref[c]
+
+    if manual:
         @pl.when(k == 0)
         def _():
             pltpu.make_async_copy(gbuf_ref.at[tile], g_buf_ref,
@@ -667,37 +800,6 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
             carry_ref[:, :] = init
             flag_ref[0] = 0.0
 
-    # tile continuing from the previous segment
-    @pl.when((c == 0) & (k != 0))
-    def _():
-        carry_ref[:, :] = carry_in_ref[:, :]
-        flag_ref[0] = jnp.min(carry_in_ref[:, 1:2])
-        if manual:
-            # the g staging scratch is fresh in this pallas_call: re-fetch
-            # the continued tile's cotangent block (total is in the carry,
-            # so obuf is not needed again)
-            pltpu.make_async_copy(gbuf_ref.at[tile], g_buf_ref,
-                                  go_sem_ref.at[0]).start()
-            pltpu.make_async_copy(gbuf_ref.at[tile], g_buf_ref,
-                                  go_sem_ref.at[0]).wait()
-            g_pix_ref[:, :] = g_buf_ref[:, :].T
-
-    if manual:
-        ch = dstage_ref.shape[-1]
-    else:
-        ch = dpay_ref.shape[-1]
-        dpay_ref[0] = jnp.zeros((6 + C.NUM_CHANNELS, ch), _F32)
-
-    _pay_pipeline_start(kit_ref, pay_hbm_ref, pay_buf_ref, sems_ref,
-                        issued_ref, c, flag_ref)
-    slot = jax.lax.rem(c, 2)
-
-    # same tile-level early termination as the forward: once every pixel
-    # latched done, remaining chunks contribute zero gradient.  Sub-chunks
-    # are FUSED into one predicated body like the forward's: (log T, done,
-    # prefix) flow through registers and the carry ref is touched once per
-    # chunk.
-    sub = _subchunk(cfg)
     compute = (k >= 0) & (flag_ref[0] < 0.5)
 
     @pl.when(compute)
@@ -714,7 +816,8 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
                 dstate_ref[0] = 0
         # the cotangent load must sit INSIDE this branch: at a segment-
         # continuation step the g staging fetch happens in the (c==0, k!=0)
-        # branch above, and an earlier load would read pre-fetch garbage
+        # branch of the caller, and an earlier load would read pre-fetch
+        # garbage
         g = g_pix_ref[:, :] if manual else gbuf_ref[0]
         carry = carry_ref[:, :]
         lt = carry[:, 0:1]
@@ -726,8 +829,8 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
         tile_y0 = ((tile // gx_grid) % gy_grid) * cfg.tile_h
         for j in range(cfg.chunk // sub):
             sl = slice(j * sub, (j + 1) * sub)
-            feat = pay_buf_ref[slot, :8, sl]
-            colT = pay_buf_ref[slot, 8:24, sl]                      # [16, SUB]
+            feat = pay_buf_ref[slot, i, :8, sl]
+            colT = pay_buf_ref[slot, i, 8:24, sl]                   # [16, SUB]
             q = _chunk_blend_quantities(feat, u_ref[:, :], basis_ref[:, :],
                                         lt, done, tile_x0, tile_y0,
                                         power_mode=_resolve_power_mode(cfg),
@@ -831,18 +934,6 @@ def _bwd_kernel(tof_ref, kit_ref, pay_hbm_ref, u_ref, basis_ref,
         carry_ref[:, :] = new_carry
         flag_ref[0] = jnp.min(done)
 
-    @pl.when(c == pl.num_programs(0) - 1)
-    def _():
-        if manual:
-            # drain the last in-flight dpay store
-            @pl.when(dstate_ref[0] == 1)
-            def _():
-                pltpu.make_async_copy(dstage_ref,
-                                      dpay_ref.at[dstate_ref[1]],
-                                      dsem_ref).wait()
-                dstate_ref[0] = 0
-        carry_out_ref[:, :] = carry_ref[:, :]
-
 
 def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
                            height: int, cfg: C.RasterConfig,
@@ -857,11 +948,10 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
     sub = _subchunk(cfg)
     u_tri = jnp.asarray(_tri_incl(sub), dtype=_F32)
     basis = _pixel_basis(cfg)
-    kernel = functools.partial(_bwd_kernel, cfg=cfg, gx_grid=gx_grid,
-                               gy_grid=gy_grid)
 
     carry_c = jnp.zeros((pix, 8), _F32)
     manual = cfg.io_mode == "manual"
+    group = _resolve_group(cfg)
     if manual:
         # Explicit HBM + channel-major (the DMA-sliceable layout; see the
         # forward's flush comment).  One XLA transpose per buffer here vs
@@ -870,24 +960,29 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
         gbuf = jnp.swapaxes(gbuf, 1, 2)
         tile_in_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         dpay_out_spec = pl.BlockSpec(memory_space=pltpu.HBM)
-
-        def kernel_m(tof, kit, pay, u, bas, gb, ob, cin, dz, dpay, cout,
-                     *scratch):
-            del dz  # zero-initialized HBM buffer aliased to dpay
-            return kernel(tof, kit, pay, u, bas, gb, ob, cin, dpay, cout,
-                          *scratch)
-        call_kernel = kernel_m
     else:
         tile_in_spec = pl.BlockSpec((1, pix, C.PAD_CHANNELS),
                                     lambda c, tof, kit: (tof[c], 0, 0))
         dpay_out_spec = pl.BlockSpec((1, 6 + C.NUM_CHANNELS, ch),
                                      lambda c, tof, kit: (c, 0, 0))
-        call_kernel = kernel
     dpays = []
-    for start, length in _segments(tc, cfg.segment_chunks):
+    for start, length, grp in _grouped_segments(tc, cfg.segment_chunks,
+                                                group):
+        kernel = functools.partial(_bwd_kernel, cfg=cfg, gx_grid=gx_grid,
+                                   gy_grid=gy_grid, group=grp,
+                                   seg_len=length)
+        if manual:
+            def kernel_m(tof, kit, pay, u, bas, gb, ob, cin, dz, dpay, cout,
+                         *scratch, _kern=kernel):
+                del dz  # zero-initialized HBM buffer aliased to dpay
+                return _kern(tof, kit, pay, u, bas, gb, ob, cin, dpay, cout,
+                             *scratch)
+            call_kernel = kernel_m
+        else:
+            call_kernel = kernel
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(length,),
+            grid=(length // grp,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # payload (manual DMA)
                 pl.BlockSpec((sub, sub), lambda c, tof, kit: (0, 0)),
@@ -902,7 +997,7 @@ def raster_core_pallas_bwd(binned: C.Binned, tile_buf, gbuf, width: int,
             ],
             scratch_shapes=[pltpu.VMEM((pix, 8), _F32),
                             pltpu.SMEM((1,), _F32),
-                            pltpu.VMEM((2, 24, ch), _F32),
+                            pltpu.VMEM((2, grp, 24, ch), _F32),
                             pltpu.SemaphoreType.DMA((2,)),
                             pltpu.SMEM((1,), jnp.int32)]
             + ([pltpu.VMEM((C.PAD_CHANNELS, pix), _F32),   # g staging (cm)

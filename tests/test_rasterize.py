@@ -280,6 +280,76 @@ def test_pallas_io_manual_bit_matches_auto(scene, cfg):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pallas_step_chunks_bit_matches(scene, cfg):
+    """step_chunks > 1 (several chunks share one grid step + one grouped
+    payload DMA, manual IO) must reproduce the ungrouped manual path BIT
+    exactly — forward, final_T and all gradients — including the ragged
+    group tail (TC=79 is not a multiple of 4) and segment-crossing
+    continuations (segment_chunks=4 with group 2/4)."""
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean_pix)
+    args = (jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+            jnp.asarray(opacity))
+
+    def run(group, seg):
+        c = RasterConfig(**{**cfg.__dict__, "backend": "pallas",
+                            "io_mode": "manual", "step_chunks": group,
+                            "segment_chunks": seg})
+
+        def loss(ndc, conic, colors, opacity):
+            out = rasterize(ndc, conic, colors, opacity, jnp.asarray(depth),
+                            jnp.asarray(valid), jnp.asarray(bg), W, H, c)
+            return (jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"]),
+                    out["render"])
+
+        (v, img), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                         has_aux=True)(*args)
+        return img, g
+
+    img_ref, g_ref = run(1, 0)
+    for group, seg in ((2, 0), (4, 0), (2, 4), (4, 4)):
+        img_g, g_g = run(group, seg)
+        np.testing.assert_array_equal(np.asarray(img_ref), np.asarray(img_g),
+                                      err_msg=f"group={group} seg={seg}")
+        for a, b in zip(g_ref, g_g):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"group={group} seg={seg}")
+
+
+def test_pay_gather_cm_bit_matches(scene, cfg):
+    """pay_gather="cm" (channel-major payload materialization) must produce
+    BIT-identical renders and gradients to the row-gather layout — it moves
+    the same bytes through a different gather axis."""
+    mean_pix, conic, colors, opacity, depth, valid, bg = scene
+    ndc = pix_to_ndc(mean_pix)
+    args = (jnp.asarray(ndc), jnp.asarray(conic), jnp.asarray(colors),
+            jnp.asarray(opacity))
+
+    def run(backend, pay):
+        c = RasterConfig(**{**cfg.__dict__, "backend": backend,
+                            "pay_gather": pay})
+
+        def loss(ndc, conic, colors, opacity):
+            out = rasterize(ndc, conic, colors, opacity, jnp.asarray(depth),
+                            jnp.asarray(valid), jnp.asarray(bg), W, H, c)
+            return (jnp.sum(out["render"] ** 2) + jnp.sum(out["final_T"]),
+                    out["render"])
+
+        (v, img), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                         has_aux=True)(*args)
+        return img, g
+
+    for backend in ("jnp", "pallas"):
+        img_r, g_r = run(backend, "rows")
+        img_c, g_c = run(backend, "cm")
+        np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_c),
+                                      err_msg=backend)
+        for a, b in zip(g_r, g_c):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=backend)
+
+
 def test_pallas_multisubchunk_matches(scene, cfg):
     """chunk=256 (two in-kernel 128-instance sub-chunks) must match the
     chunk=16 rendering and gradients."""

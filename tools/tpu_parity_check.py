@@ -51,6 +51,7 @@ REDUCE_MODE = os.environ.get("PAR_REDUCE", "rowmajor")
 PAIR_CULL = bool(int(os.environ.get("PAR_PAIR_CULL", "0")))
 REDUCE_CUMSUM = os.environ.get("PAR_REDUCE_CUMSUM", "linear")
 IO_MODE = os.environ.get("PAR_IO", "auto")
+STEP_CHUNKS = int(os.environ.get("PAR_STEP_CHUNKS", "1"))
 
 
 def make(backend):
@@ -67,7 +68,8 @@ def make(backend):
                        reduce_cumsum=REDUCE_CUMSUM if backend == "pallas"
                        else "linear",
                        pair_cull=PAIR_CULL if backend == "pallas" else False,
-                       io_mode=IO_MODE if backend == "pallas" else "auto")
+                       io_mode=IO_MODE if backend == "pallas" else "auto",
+                       step_chunks=STEP_CHUNKS if backend == "pallas" else 1)
 
     def loss(ndc, conic, colors, opacity):
         out = rasterize(ndc, conic, colors, opacity, depth_j, valid_j, bg_j,

@@ -438,6 +438,22 @@ def G_paygather_noT(eps, pack, gid_slot):
     return chk(rows)
 
 
+PACK_T = jnp.asarray(np.asarray(PACK).T)               # [18, P+1]
+
+
+def G_paygather_cm(eps, pack_t, gid_slot):
+    """CHANNEL-MAJOR payload gather: take along the minor axis of [18, P+1]
+    so the gather moves 18 logical f32 per instance instead of [S, 18] rows
+    lane-padded to 128 (the r5d decomposition put the row gather at 92 ms of
+    the 193 ms 1M binning) — then one linear [18, S] -> [TC, 18, ch]
+    reshape; the payload's channel-major chunk layout needs no swapaxes."""
+    s = gid_slot.shape[0] * gid_slot.shape[1]
+    cols = jnp.take(pack_t + eps, gid_slot.reshape(s), axis=1)  # [18, S]
+    payload = jnp.pad(cols.reshape(18, gid_slot.shape[0], -1)
+                      .transpose(1, 0, 2), ((0, 0), (0, 24 - 18), (0, 0)))
+    return chk(payload)
+
+
 def G_windows(eps, gid_sorted, starts):
     gid_pad = jnp.concatenate(
         [gid_sorted + (eps * 0).astype(jnp.int32),
@@ -460,6 +476,7 @@ run("G_expand4", G_expand4, PRE.tiles_touched,
 run("G_searchsorted", G_searchsorted, jnp.sort(KEYS))
 run("G_paygather", G_paygather, PACK, GID_SLOT)
 run("G_paygather_noT", G_paygather_noT, PACK, GID_SLOT)
+run("G_paygather_cm", G_paygather_cm, PACK_T, GID_SLOT)
 run("G_windows", G_windows, GID_SORTED, STARTS)
 
 # ---- H. per-chunk FIXED-cost probe -------------------------------------------
