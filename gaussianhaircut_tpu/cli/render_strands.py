@@ -84,6 +84,11 @@ def main(argv=None):
     cfg_mod.add_model_args(parser)
     cfg_mod.add_pipeline_args(parser)
     parser.add_argument("--iteration", default=-1, type=int)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[-1],
+                        help="accepted for trainer-compatible invocation "
+                        "(run_pipeline passes one flag set everywhere); "
+                        "rendering has no test-eval loop")
     parser.add_argument("--data_dir", type=str, default="")
     parser.add_argument("--model_hair_path", type=str, required=True)
     parser.add_argument("--checkpoint_curves", type=str, required=True)

@@ -50,6 +50,18 @@ def main(argv=None):
     parser.add_argument("--stop_after", default="",
                         help="stop after this stage")
     parser.add_argument("--max_frames", type=int, default=128)
+    parser.add_argument("--iters1", type=int, default=30000,
+                        help="stage-1 iterations (run.sh:112)")
+    parser.add_argument("--iters2", type=int, default=20000,
+                        help="stage-2 iterations (run.sh:180)")
+    parser.add_argument("--iters3", type=int, default=10000,
+                        help="stage-3 iterations (run.sh:195)")
+    parser.add_argument("--extra_train_args", default="",
+                        help="space-separated extra flags appended to every "
+                        "trainer CLI (smoke runs: backend/tile/capacity)")
+    parser.add_argument("--extra_strand_args", default="",
+                        help="space-separated extra flags for the stage-2/3 "
+                        "trainers only (num_strands/texture_size/...)")
     parser.add_argument("--skip_preprocessing", action="store_true")
     parser.add_argument("--prior_checkpoint",
                         default=os.environ.get("PRIOR_CKPT", ""),
@@ -129,11 +141,19 @@ def main(argv=None):
             colmap_to_h3ds(data)
         done("parsing")
 
+    extra = args.extra_train_args.split() if args.extra_train_args else []
+    extra_s = (extra + args.extra_strand_args.split()
+               if args.extra_strand_args else extra)
+
     # --- 7. stage 1 (run.sh:110-115) ---
     if not _have(os.path.join(model_path, "point_cloud")):
         from gaussianhaircut_tpu.cli import train_gaussians
         train_gaussians.main(["-s", data, "-m", model_path,
-                              "--lambda_dorient", "0.1"])
+                              "--lambda_dorient", "0.1",
+                              "--iterations", str(args.iters1),
+                              "--save_iterations", str(args.iters1),
+                              "--checkpoint_iterations", str(args.iters1)]
+                             + extra)
     done("stage1")
 
     # --- 8. FLAME fitting (run.sh:117-139, external NeuralHaircut) ---
@@ -172,30 +192,35 @@ def main(argv=None):
             "-s", data, "-m", model_path, "--model_path_hair", hair_path,
             "--flame_mesh_dir", flame_dir,
             "--lambda_dmask", "0.1", "--lambda_dorient", "0.1",
-            "--lambda_dsds", "0.01", "--iterations", "20000",
+            "--lambda_dsds", "0.01", "--iterations", str(args.iters2),
+            "--checkpoint_iterations", str(args.iters2),
+            "--iteration_data", str(args.iters1),
             "--use_diffusion",
-            "--load_synthetic_rgba", "--load_synthetic_geom"] + prior_args)
+            "--load_synthetic_rgba", "--load_synthetic_geom"]
+            + prior_args + extra_s)
     done("stage2")
     if not _have(os.path.join(curves_path, "checkpoints")):
-        ck2 = os.path.join(hair_path, "checkpoints", "20000.npz")
+        ck2 = os.path.join(hair_path, "checkpoints", f"{args.iters2}.npz")
         train_strands.main([
             "-s", data, "-m", model_path, "--model_path_hair", hair_path,
             "--model_path_curves", curves_path, "--flame_mesh_dir", flame_dir,
             "--start_checkpoint_hair", ck2,
             "--lambda_dmask", "0.1", "--lambda_dorient", "0.1",
-            "--lambda_dsds", "0.01", "--iterations", "10000",
-            "--use_sds"] + prior_args)
+            "--lambda_dsds", "0.01", "--iterations", str(args.iters3),
+            "--checkpoint_iterations", str(args.iters3),
+            "--iteration_data", str(args.iters1),
+            "--use_sds"] + prior_args + extra_s)
     done("stage3")
 
     # --- 14. export + renders (run.sh:199-233) ---
     from gaussianhaircut_tpu.cli import export_curves, render_strands
     export_curves.main(["--data_dir", data, "--model_name", args.exp_name_3,
-                        "--iter", "10000"])
+                        "--iter", str(args.iters3)])
     render_strands.main([
         "-s", data, "-m", model_path, "--model_hair_path", hair_path,
         "--checkpoint_curves",
-        os.path.join(curves_path, "checkpoints", "10000.npz"),
-        "--skip_test"])
+        os.path.join(curves_path, "checkpoints", f"{args.iters3}.npz"),
+        "--skip_test"] + extra)
     _external("blender_video", cmds, env)
     done("export")
 

@@ -35,6 +35,11 @@ def main(argv=None):
     cfg_mod.add_optim_args(parser)
     cfg_mod.add_pipeline_args(parser)
     parser.add_argument("--model_path_hair", type=str, required=True)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[-1],
+                        help="accepted for stage-1-compatible invocation "
+                        "(run_pipeline passes one flag set to every "
+                        "trainer); stage 2 has no test-eval loop")
     parser.add_argument("--pointcloud_path_head", type=str, default="")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[20_000])

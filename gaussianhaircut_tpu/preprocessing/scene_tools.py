@@ -28,6 +28,8 @@ from gaussianhaircut_tpu.utils import mesh as mesh_util
 def robust_sphere_fit(xyz_hair: np.ndarray, iters: int = 5):
     """(translation [3], scale) via the reference's iterated median trim
     (scale_scene_into_sphere.py:47-58)."""
+    if xyz_hair.shape[0] == 0:
+        raise ValueError("robust_sphere_fit: empty point selection")
     tr = np.zeros(3)
     pts = xyz_hair
     s = 1.0
@@ -35,6 +37,8 @@ def robust_sphere_fit(xyz_hair: np.ndarray, iters: int = 5):
         norm = np.linalg.norm(pts - tr, axis=-1)
         threshold = np.median(norm) * 5
         keep = norm < threshold
+        if not keep.any():
+            break
         pts = pts[keep]
         tr = pts.mean(axis=0)
         s = norm[keep].max()
@@ -54,7 +58,16 @@ def scale_scene_into_sphere(model_path: str, data_path: str, iteration: int,
     opac = np.asarray(gm.get_opacity(p))[:, 0]
     xyz = np.asarray(p.xyz)
 
-    hair = alive & (labels >= 0.5) & (opac >= 0.5)
+    # selection cascade: the reference assumes a converged stage-1 model with
+    # confident hair labels (scale_scene_into_sphere.py); an undertrained
+    # model (smoke runs, early checkpoints) can have NO gaussian passing both
+    # thresholds — fall back to progressively weaker selections rather than
+    # crash on an empty reduction
+    for hair in (alive & (labels >= 0.5) & (opac >= 0.5),
+                 alive & (labels >= 0.5),
+                 alive):
+        if hair.any():
+            break
     tr, s = robust_sphere_fit(xyz[hair])
 
     keep = alive & (np.linalg.norm(xyz - tr, axis=-1) < s)

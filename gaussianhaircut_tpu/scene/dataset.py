@@ -64,8 +64,13 @@ def _load_image(path: str, resolution: tuple[int, int], max_value: float = 255.0
 
 def _resize_map(arr: np.ndarray, resolution: tuple[int, int]) -> np.ndarray:
     """Bilinear resize of a [H, W] float array via PIL (the F.interpolate
-    analog in camera_utils.py:67)."""
-    img = Image.fromarray(arr.astype(np.float32), mode="F").resize(resolution, Image.BILINEAR)
+    analog in camera_utils.py:67).  Leading singleton axes are squeezed:
+    render_gaussians exports orient_confs as [1, H, W] (the renderer's
+    channel layout), and PIL's mode="F" only accepts 2-D."""
+    arr = np.asarray(arr, np.float32)
+    while arr.ndim > 2 and arr.shape[0] == 1:
+        arr = arr[0]
+    img = Image.fromarray(arr, mode="F").resize(resolution, Image.BILINEAR)
     return np.asarray(img, np.float32)
 
 
