@@ -33,8 +33,9 @@ N = int(os.environ.get("MPC_N", 10))
 
 rng = np.random.default_rng(0)
 pool = synthetic_scalp_pool(max(20000, N_STRANDS))
-roots = np.asarray(pool.positions[:N_STRANDS])
-normals = np.asarray(pool.normals[:N_STRANDS])
+roots = np.asarray(pool.origins[:N_STRANDS])
+# local2world columns are (tangent, bitangent, normal)
+normals = np.asarray(pool.local2world[:N_STRANDS, :, 2])
 
 # synthetic hair: root -> wavy downward strands, segment ~8e-4 units
 seg = 8e-4
